@@ -1,0 +1,196 @@
+"""Synthetic 2D LiDAR world simulator and CARMEN log generator.
+
+No Radish datasets (intel.clf / aces / mit-killian) ship with this machine,
+so tests and benchmarks use simulated CARMEN logs with known ground truth:
+a segment-based world, a waypoint loop trajectory, exact ray-cast ranges with
+Gaussian noise, and odometry with systematic drift. The emitted log uses the
+old-format ``FLASER`` records (181 beams over 180 degrees by default), which
+exercises the same reader path as intel.clf (carmen_reader.cpp:319-394).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from my_lidar_graph_slam_tpu.sensor.data import RawScan
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+def default_world() -> np.ndarray:
+    """Wall segments [M, 4] as (x0, y0, x1, y1): a two-room office loop."""
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    # Outer shell 22 x 16 m.
+    box(-11.0, -8.0, 11.0, 8.0)
+    # Central block creating a loop corridor.
+    box(-6.0, -3.0, 6.0, 3.0)
+    # Rooms along the south wall.
+    segs.append((-11.0, -5.5, -8.5, -5.5))
+    segs.append((-7.0, -5.5, -4.0, -5.5))
+    segs.append((-4.0, -5.5, -4.0, -8.0))
+    # Pillar-ish features for matchability in the corridor.
+    box(8.0, -6.5, 8.8, -5.7)
+    box(-9.2, 4.8, -8.4, 5.6)
+    box(7.6, 4.6, 8.4, 5.4)
+    return np.asarray(segs, dtype=np.float64)
+
+
+def loop_waypoints() -> np.ndarray:
+    """A rectangular loop through the corridor of :func:`default_world`."""
+    return np.array([
+        [-8.5, -5.0], [8.5, -5.0], [8.5, 5.0], [-8.5, 5.0], [-8.5, -5.0],
+        [8.5, -5.0],
+    ])
+
+
+def trajectory_from_waypoints(waypoints: np.ndarray,
+                              step: float = 0.1) -> np.ndarray:
+    """Constant-speed poses [T, 3] along the waypoint polyline.
+
+    Heading follows the path tangent with smoothing at corners.
+    """
+    pts: List[np.ndarray] = []
+    for i in range(len(waypoints) - 1):
+        p0, p1 = waypoints[i], waypoints[i + 1]
+        d = np.linalg.norm(p1 - p0)
+        n = max(int(np.ceil(d / step)), 1)
+        for j in range(n):
+            pts.append(p0 + (p1 - p0) * (j / n))
+    pts.append(waypoints[-1])
+    pts_arr = np.asarray(pts)
+
+    # Tangent headings, smoothed to bound the turn rate.
+    diffs = np.diff(pts_arr, axis=0)
+    headings = np.arctan2(diffs[:, 1], diffs[:, 0])
+    headings = np.concatenate([headings, headings[-1:]])
+    unwrapped = np.unwrap(headings)
+    kernel = np.ones(9) / 9.0
+    pad = np.pad(unwrapped, (4, 4), mode="edge")
+    smooth = np.convolve(pad, kernel, mode="valid")
+    return np.concatenate([pts_arr, smooth[:, None]], axis=1)
+
+
+def raycast_segments(origin: np.ndarray, angles: np.ndarray,
+                     segments: np.ndarray, max_range: float) -> np.ndarray:
+    """Exact ranges [N] from ``origin`` along world-frame ``angles``."""
+    ox, oy = origin[0], origin[1]
+    dx = np.cos(angles)[:, None]                      # [N, 1]
+    dy = np.sin(angles)[:, None]
+    p0x, p0y = segments[None, :, 0], segments[None, :, 1]  # [1, M]
+    ex = segments[None, :, 2] - p0x
+    ey = segments[None, :, 3] - p0y
+    rx = p0x - ox
+    ry = p0y - oy
+    denom = dx * ey - dy * ex                          # cross(d, e)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (rx * ey - ry * ex) / denom                # along ray
+        s = (rx * dy - ry * dx) / denom                # along segment
+    hit = (np.abs(denom) > 1e-12) & (t > 1e-9) & (s >= 0.0) & (s <= 1.0)
+    t = np.where(hit, t, np.inf)
+    dist = t.min(axis=1)
+    return np.minimum(dist, max_range)
+
+
+@dataclasses.dataclass
+class SimConfig:
+    num_beams: int = 181
+    fov: float = np.pi
+    max_range: float = 20.0
+    range_noise: float = 0.01
+    odom_drift_per_m: float = 0.004      # systematic translational drift
+    odom_theta_drift_per_m: float = 0.004
+    odom_noise_xy: float = 0.001
+    odom_noise_theta: float = 0.0015
+    step: float = 0.1                    # meters between simulated scans
+    seed: int = 0
+
+
+def simulate(world: np.ndarray | None = None,
+             waypoints: np.ndarray | None = None,
+             config: SimConfig | None = None
+             ) -> Tuple[List[RawScan], np.ndarray]:
+    """Simulate scans along the loop. Returns (scans, true_poses [T, 3])."""
+    cfg = config or SimConfig()
+    rng = np.random.default_rng(cfg.seed)
+    segs = default_world() if world is None else world
+    wps = loop_waypoints() if waypoints is None else waypoints
+    poses = trajectory_from_waypoints(wps, step=cfg.step)
+
+    beam_angles = np.linspace(-cfg.fov / 2.0, cfg.fov / 2.0, cfg.num_beams)
+
+    scans: List[RawScan] = []
+    odom = poses[0].copy()
+    for t in range(len(poses)):
+        true_pose = poses[t]
+        # Exact ranges + noise; sensor frame == robot frame.
+        world_angles = true_pose[2] + beam_angles
+        ranges = raycast_segments(true_pose[:2], world_angles, segs,
+                                  cfg.max_range)
+        noisy = np.where(
+            ranges < cfg.max_range,
+            np.maximum(ranges + rng.normal(0.0, cfg.range_noise,
+                                           ranges.shape), 0.0),
+            cfg.max_range)
+
+        # Odometry: integrate true relative motion with drift + noise.
+        if t > 0:
+            rel = se2.inverse_compound_np(poses[t - 1], true_pose)
+            d = float(np.hypot(rel[0], rel[1]))
+            rel[0] += cfg.odom_drift_per_m * d + rng.normal(
+                0.0, cfg.odom_noise_xy)
+            rel[1] += rng.normal(0.0, cfg.odom_noise_xy)
+            rel[2] += cfg.odom_theta_drift_per_m * d + rng.normal(
+                0.0, cfg.odom_noise_theta)
+            odom = se2.compound_np(odom, rel)
+
+        scans.append(RawScan(
+            sensor_id="FLASER",
+            timestamp=0.1 * t,
+            odom_pose=odom.copy(),
+            velocity=np.zeros(3),
+            rel_sensor_pose=np.zeros(3),
+            min_range=0.0,
+            max_range=cfg.max_range,
+            min_angle=float(beam_angles[0]),
+            max_angle=float(beam_angles[-1]),
+            angles=beam_angles.copy(),
+            ranges=noisy,
+        ))
+    return scans, poses
+
+
+def write_carmen_log(path: str, scans: List[RawScan],
+                     max_range: float = 20.0) -> None:
+    """Write scans as old-format FLASER records plus laser PARAMs."""
+    with open(path, "w") as f:
+        f.write("PARAM Laser.MaxRange %.2f\n" % max_range)
+        f.write("PARAM Laser.MinAngle %.6f\n" % scans[0].min_angle)
+        f.write("PARAM Laser.AngleIncrement %.9f\n" %
+                (scans[0].angles[1] - scans[0].angles[0]))
+        for s in scans:
+            parts = ["FLASER", str(s.num_beams)]
+            parts.extend("%.3f" % r for r in s.ranges)
+            # Sensor frame == robot frame in the simulator.
+            parts.extend("%.6f" % v for v in s.odom_pose)
+            parts.extend("%.6f" % v for v in s.odom_pose)
+            parts.extend(["%.6f" % s.timestamp, "synth",
+                          "%.6f" % s.timestamp])
+            f.write(" ".join(parts) + "\n")
+
+
+def make_dataset(path_prefix: str, config: SimConfig | None = None) -> str:
+    """Write ``<prefix>.clf`` and ``<prefix>_gt.npz``; returns the log path."""
+    scans, true_poses = simulate(config=config)
+    log_path = path_prefix + ".clf"
+    cfg = config or SimConfig()
+    write_carmen_log(log_path, scans, max_range=cfg.max_range)
+    np.savez(path_prefix + "_gt.npz", true_poses=true_poses,
+             timestamps=np.array([s.timestamp for s in scans]))
+    return log_path
