@@ -1,0 +1,219 @@
+"""Scan matcher tests: recovery of a known perturbation + oracle parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from my_lidar_graph_slam_tpu.io import synth
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.ops import matchers, pyramid, raycast, scoring
+
+RES = 0.05
+NB = 256
+
+
+def make_scene(pose=(0.0, 0.0, 0.3), n_scans=5):
+    """Integrate a few simulated scans around ``pose`` into a small map."""
+    segs = synth.default_world()
+    beam_angles = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    g = gridops.empty(512, 512, RES, center=np.asarray(pose[:2]))
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(n_scans):
+        p = np.asarray(pose, np.float64) + np.concatenate(
+            [rng.uniform(-0.3, 0.3, 2), rng.uniform(-0.2, 0.2, 1)])
+        poses.append(p)
+    for p in poses:
+        r = synth.raycast_segments(p[:2], p[2] + beam_angles, segs, 20.0)
+        ranges = np.zeros(NB, np.float32)
+        angles = np.zeros(NB, np.float32)
+        valid = np.zeros(NB, bool)
+        ranges[:181] = r
+        angles[:181] = beam_angles
+        valid[:181] = True
+        g = raycast.integrate_scan(
+            g, jnp.asarray(p, jnp.float32), jnp.asarray(ranges),
+            jnp.asarray(angles), jnp.asarray(valid), 0.01, 20.0,
+            max_steps=448)
+    return g, segs, beam_angles
+
+
+def make_query(segs, beam_angles, true_pose):
+    r = synth.raycast_segments(
+        np.asarray(true_pose)[:2], true_pose[2] + beam_angles, segs, 20.0)
+    ranges = np.zeros(NB, np.float32)
+    angles = np.zeros(NB, np.float32)
+    valid = np.zeros(NB, bool)
+    ranges[:181] = r
+    angles[:181] = beam_angles
+    valid[:181] = True
+    return (jnp.asarray(ranges), jnp.asarray(angles), jnp.asarray(valid))
+
+
+COMMON = dict(
+    scan_min_range=jnp.asarray(0.0, jnp.float32),
+    scan_max_range=jnp.asarray(20.0, jnp.float32),
+    rel_sensor_pose=jnp.zeros(3),
+    usable_range_min=jnp.asarray(0.01, jnp.float32),
+    usable_range_max=jnp.asarray(20.0, jnp.float32),
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    g, segs, beam_angles = make_scene()
+    return g, segs, beam_angles, np.asarray(gridops.values(g))
+
+
+def test_correlative_recovers_offset(scene):
+    g, segs, beam_angles, vals = scene
+    true_pose = np.array([0.12, -0.08, 0.36])
+    init_pose = np.array([0.0, 0.0, 0.3])
+    ranges, angles, valid = make_query(segs, beam_angles, true_pose)
+
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.5)
+    s = matchers.correlative_match(
+        jnp.asarray(vals), g, jnp.asarray(init_pose, jnp.float32),
+        ranges, angles, valid,
+        scan_range_max=jnp.asarray(20.0, jnp.float32),
+        range_theta=jnp.asarray(0.5, jnp.float32),
+        normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
+        win_x=4, win_y=4, win_theta_max=win_t,
+        num_total_beams=181,
+        **COMMON)
+    est = np.asarray(s.estimated_pose)
+    assert bool(s.pose_found)
+    assert abs(est[0] - true_pose[0]) < 2.5 * RES
+    assert abs(est[1] - true_pose[1]) < 2.5 * RES
+    assert abs(est[2] - true_pose[2]) < 0.02
+    assert float(s.normalized_score) > 0.3
+    cov = np.asarray(s.covariance)
+    assert np.allclose(cov, cov.T, atol=1e-5)
+    assert np.all(np.linalg.eigvalsh(cov) > 0)
+
+
+def test_grid_search_recovers_offset(scene):
+    g, segs, beam_angles, vals = scene
+    true_pose = np.array([0.1, -0.05, 0.33])
+    init_pose = np.array([0.0, 0.0, 0.3])
+    ranges, angles, valid = make_query(segs, beam_angles, true_pose)
+
+    s = matchers.grid_search_match(
+        jnp.asarray(vals), g, jnp.asarray(init_pose, jnp.float32),
+        ranges, angles, valid,
+        normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
+        step_x=jnp.asarray(RES, jnp.float32),
+        step_y=jnp.asarray(RES, jnp.float32),
+        step_t=jnp.asarray(0.005, jnp.float32),
+        nx=9, ny=9, nt=17,
+        num_total_beams=181,
+        **COMMON)
+    est = np.asarray(s.estimated_pose)
+    assert abs(est[0] - true_pose[0]) < 2.5 * RES
+    assert abs(est[1] - true_pose[1]) < 2.5 * RES
+    assert abs(est[2] - true_pose[2]) < 0.03
+
+
+def test_branch_bound_matches_exhaustive(scene):
+    """BB must find the same score as exhaustively scoring all leaves
+    (the reference treats GridSearch as the exhaustive baseline for BB,
+    scan_matcher_grid_search.cpp:45)."""
+    g, segs, beam_angles, vals = scene
+    true_pose = np.array([0.15, 0.1, 0.25])
+    init_pose = np.array([0.0, 0.0, 0.3])
+    ranges, angles, valid = make_query(segs, beam_angles, true_pose)
+
+    pyr = pyramid.build_pyramid(jnp.asarray(vals), 4)
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.25)
+    s = matchers.branch_bound_match(
+        pyr, g, jnp.asarray(init_pose, jnp.float32),
+        ranges, angles, valid,
+        scan_range_max=jnp.asarray(20.0, jnp.float32),
+        range_theta=jnp.asarray(0.25, jnp.float32),
+        normalized_score_threshold=jnp.asarray(0.1, jnp.float32),
+        node_height_max=4, win_x=8, win_y=8, win_theta_max=win_t,
+        frontier_cap=8192,
+        num_total_beams=181,
+        **COMMON)
+
+    # Exhaustive oracle over the BB leaf lattice (same steps, same extent:
+    # [-win, -win + 2^h * ceil(...)) per axis, unclipped like the reference).
+    max_range = min(float(jnp.max(ranges)), 20.0)
+    step_t = float(matchers.search_step_theta(RES, jnp.asarray(max_range)))
+    win_theta_act = int(np.ceil(0.5 * 0.25 / step_t))
+    xs = np.arange(-8, -8 + 16, 1)
+    ts = np.arange(-win_theta_act, win_theta_act + 1)
+    score_mask = np.asarray(valid) & (np.asarray(ranges) > 0.01) & \
+        (np.asarray(ranges) < 20.0)
+    best = -np.inf
+    cand = []
+    for t in ts:
+        cand.append(np.stack([
+            np.full((16, 16), init_pose[0]) +
+            xs[:, None] * RES,
+            np.full((16, 16), init_pose[1]) + xs[None, :] * RES,
+            np.full((16, 16), init_pose[2] + t * step_t)], axis=-1))
+    cand = np.stack(cand).reshape(-1, 3)
+    summ = scoring.score_poses(
+        jnp.asarray(vals), g, jnp.asarray(cand, jnp.float32),
+        ranges, angles, jnp.asarray(score_mask), 181)
+    best = float(jnp.max(summ.score))
+
+    np.testing.assert_allclose(
+        float(s.normalized_score) * 181, best, rtol=1e-4)
+
+
+def test_hill_climbing_improves_cost(scene):
+    g, segs, beam_angles, vals = scene
+    true_pose = np.array([0.06, -0.04, 0.32])
+    init_pose = np.array([0.0, 0.0, 0.3])
+    ranges, angles, valid = make_query(segs, beam_angles, true_pose)
+
+    s = matchers.hill_climbing_match(
+        jnp.asarray(vals), g, jnp.asarray(init_pose, jnp.float32),
+        ranges, angles, valid,
+        cost_type="square_error",
+        num_total_beams=181,
+        **COMMON)
+    est = np.asarray(s.estimated_pose)
+    # Should move toward the true pose.
+    assert np.linalg.norm(est[:2] - true_pose[:2]) < \
+        np.linalg.norm(init_pose[:2] - true_pose[:2])
+
+
+def test_linear_solver_refines(scene):
+    g, segs, beam_angles, vals = scene
+    true_pose = np.array([0.05, 0.03, 0.315])
+    init_pose = np.array([0.0, 0.0, 0.3])
+    ranges, angles, valid = make_query(segs, beam_angles, true_pose)
+
+    s = matchers.linear_solver_match(
+        jnp.asarray(vals), g, jnp.asarray(init_pose, jnp.float32),
+        ranges, angles, valid,
+        num_total_beams=181,
+        **COMMON)
+    est = np.asarray(s.estimated_pose)
+    assert np.linalg.norm(est[:2] - true_pose[:2]) < 0.05
+    assert abs(est[2] - true_pose[2]) < 0.03
+
+
+def test_window_scores_vs_naive(scene):
+    g, segs, beam_angles, vals = scene
+    ranges, angles, valid = make_query(segs, beam_angles,
+                                       np.array([0.0, 0.0, 0.3]))
+    pose = jnp.asarray([0.02, 0.01, 0.31], jnp.float32)
+    ix, iy = scoring.hit_cells(g, pose, ranges, angles)
+    w = np.asarray(valid, np.float32)
+    out = np.asarray(scoring.window_scores(
+        jnp.asarray(vals), ix, iy, jnp.asarray(w), 2, 2))
+    ixn, iyn = np.asarray(ix), np.asarray(iy)
+    for a, dx in [(0, -2), (2, 0), (4, 2)]:
+        for b, dy in [(0, -2), (3, 1)]:
+            naive = 0.0
+            for k in range(NB):
+                if not w[k]:
+                    continue
+                x, y = ixn[k] + dx, iyn[k] + dy
+                if 0 <= x < vals.shape[1] and 0 <= y < vals.shape[0]:
+                    naive += vals[y, x]
+            np.testing.assert_allclose(out[a, b], naive, rtol=1e-4)
