@@ -1,0 +1,265 @@
+"""Robust Levenberg-Marquardt pose-graph optimizer (Sparse Pose Adjustment).
+
+TPU-native redesign of PoseGraphOptimizerLM (pose_graph_optimizer_lm.cpp:
+13-338, after Konolige et al. IROS 2010):
+
+ * Per-edge SE(2) errors and analytic 3x3 Jacobians are evaluated for ALL
+   edges as one batched computation (:224-299).
+ * Robust M-estimator weights scale each edge's information matrix (:110-115).
+ * The normal equations are never assembled as a sparse matrix: the solver is
+   a matrix-free preconditioned conjugate gradient whose SpMV is a
+   segment-sum over edge blocks, with a block-Jacobi (3x3 block diagonal)
+   preconditioner — the TPU replacement for Eigen's SimplicialLDLT / CG
+   (:178-206). A dense Cholesky path exists for small graphs and testing.
+ * Gauge freedom is fixed by adding 1e9 to the first node's diagonal block
+   (:164-168); the LM damping lambda is doubled/halved on error
+   increase/decrease exactly as the reference's loop does (:41-64).
+
+All arrays are capacity-padded; masked edges carry zero information and
+masked nodes receive zero increments, so one compiled program serves every
+graph size within a capacity bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from my_lidar_graph_slam_tpu.models import robust_loss
+from my_lidar_graph_slam_tpu.models.pose_graph import GraphArrays
+from my_lidar_graph_slam_tpu.utils import se2
+
+GAUGE = 1e9  # First-node diagonal anchor (pose_graph_optimizer_lm.cpp:168).
+
+
+class OptimizeResult(NamedTuple):
+    poses: jnp.ndarray        # f32[N_cap, 3]
+    total_error: jnp.ndarray  # f32[]
+    iterations: jnp.ndarray   # i32[]
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    solver: str = "cg"                  # "cg" | "dense"
+    max_iterations: int = 10
+    error_tolerance: float = 1e-4
+    initial_lambda: float = 1e-4
+    loss_name: str = "Huber"
+    loss_scale: float = 0.01
+    cg_max_iterations: int = 256
+    cg_tolerance: float = 1e-6
+
+
+def edge_errors(poses, edge_i, edge_j, edge_rel):
+    """Batched error e_ij = h(c_i, c_j) - z_ij with normalized angle
+    (pose_graph_optimizer_lm.cpp:283-299)."""
+    pi = poses[edge_i]
+    pj = poses[edge_j]
+    rel = se2.inverse_compound(pi, pj)
+    err = rel - edge_rel
+    return jnp.concatenate(
+        [err[..., :2], se2.normalize_angle(err[..., 2:3])], axis=-1)
+
+
+def edge_jacobians(poses, edge_i, edge_j):
+    """Batched analytic Jacobians wrt start/end poses
+    (pose_graph_optimizer_lm.cpp:224-280). Returns (Ji, Jj) [E, 3, 3]."""
+    pi = poses[edge_i]
+    pj = poses[edge_j]
+    th = pi[..., 2]
+    s = jnp.sin(th)
+    c = jnp.cos(th)
+    dx = pj[..., 0] - pi[..., 0]
+    dy = pj[..., 1] - pi[..., 1]
+    a = -s * dx + c * dy
+    b = -c * dx - s * dy
+    z = jnp.zeros_like(th)
+    o = jnp.ones_like(th)
+    ji = jnp.stack([
+        jnp.stack([-c, -s, a], axis=-1),
+        jnp.stack([s, -c, b], axis=-1),
+        jnp.stack([z, z, -o], axis=-1),
+    ], axis=-2)
+    jj = jnp.stack([
+        jnp.stack([c, s, z], axis=-1),
+        jnp.stack([-s, c, z], axis=-1),
+        jnp.stack([z, z, o], axis=-1),
+    ], axis=-2)
+    return ji, jj
+
+
+def _mm(a, b):
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision="highest")
+
+
+def _mv(a, v):
+    return jnp.einsum("...ij,...j->...i", a, v, precision="highest")
+
+
+def _quad(e, info):
+    """e^T Lambda e per edge."""
+    return jnp.einsum("...i,...ij,...j->...", e, info, e,
+                      precision="highest")
+
+
+def total_error(poses, graph: GraphArrays, loss: robust_loss.RobustLoss):
+    """Robust total error (pose_graph_optimizer_lm.cpp:302-338)."""
+    err = edge_errors(poses, graph.edge_i, graph.edge_j, graph.edge_rel)
+    sq = _quad(err, graph.edge_info)
+    return jnp.where(graph.edge_mask, loss.loss(sq), 0.0).sum()
+
+
+def _build_normal_terms(poses, graph: GraphArrays,
+                        loss: robust_loss.RobustLoss):
+    """Per-edge weighted blocks + RHS for the normal equations."""
+    err = edge_errors(poses, graph.edge_i, graph.edge_j, graph.edge_rel)
+    ji, jj = edge_jacobians(poses, graph.edge_i, graph.edge_j)
+    sq = _quad(err, graph.edge_info)
+    w = jnp.where(graph.edge_mask, loss.weight(sq), 0.0)
+    winfo = w[:, None, None] * graph.edge_info          # [E, 3, 3]
+
+    tr_ji_w = _mm(jnp.swapaxes(ji, -1, -2), winfo)      # Ji^T W
+    tr_jj_w = _mm(jnp.swapaxes(jj, -1, -2), winfo)      # Jj^T W
+
+    n = poses.shape[0]
+    b = jnp.zeros((n, 3), poses.dtype)
+    b = b.at[graph.edge_i].add(_mv(tr_ji_w, err))
+    b = b.at[graph.edge_j].add(_mv(tr_jj_w, err))
+    return ji, jj, winfo, tr_ji_w, tr_jj_w, b
+
+
+def _block_diag(graph: GraphArrays, ji, jj, winfo, lam, n):
+    """3x3 diagonal blocks of H (for the preconditioner / dense assembly)."""
+    hii = _mm(_mm(jnp.swapaxes(ji, -1, -2), winfo), ji)
+    hjj = _mm(_mm(jnp.swapaxes(jj, -1, -2), winfo), jj)
+    diag = jnp.zeros((n, 3, 3), ji.dtype)
+    diag = diag.at[graph.edge_i].add(hii)
+    diag = diag.at[graph.edge_j].add(hjj)
+    eye = jnp.eye(3, dtype=ji.dtype)
+    diag = diag + lam * eye[None]
+    diag = diag.at[0].add(GAUGE * eye)
+    return diag
+
+
+def _hv(v, graph: GraphArrays, ji, jj, winfo, lam):
+    """Matrix-free H @ v as a segment-sum over edge blocks."""
+    vi = v[graph.edge_i]
+    vj = v[graph.edge_j]
+    u = _mv(ji, vi) + _mv(jj, vj)        # [E, 3]
+    t = _mv(winfo, u)
+    out = jnp.zeros_like(v)
+    out = out.at[graph.edge_i].add(_mv(jnp.swapaxes(ji, -1, -2), t))
+    out = out.at[graph.edge_j].add(_mv(jnp.swapaxes(jj, -1, -2), t))
+    out = out + lam * v
+    out = out.at[0].add(GAUGE * v[0])
+    return out
+
+
+def _pcg_solve(rhs, graph, ji, jj, winfo, lam, diag_inv,
+               max_iters: int, tol: float):
+    """Block-Jacobi preconditioned CG for H x = rhs (x over [N, 3])."""
+
+    def precond(r):
+        return _mv(diag_inv, r)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = (r0 * z0).sum()
+    rr0 = (rhs * rhs).sum()
+
+    def cond(s):
+        x, r, z, p, rz, it = s
+        return (it < max_iters) & ((r * r).sum() > tol * tol * rr0)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        hp = _hv(p, graph, ji, jj, winfo, lam)
+        alpha = rz / jnp.maximum((p * hp).sum(), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = precond(r)
+        rz_new = (r * z).sum()
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, z, p, rz, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32)))
+    return x
+
+
+def _dense_solve(rhs, graph, ji, jj, winfo, lam, n):
+    """Dense assembly + solve (parity path for small graphs; mirrors the
+    SparseCholesky branch, pose_graph_optimizer_lm.cpp:179-188)."""
+    hii = _mm(_mm(jnp.swapaxes(ji, -1, -2), winfo), ji)
+    hjj = _mm(_mm(jnp.swapaxes(jj, -1, -2), winfo), jj)
+    hij = _mm(_mm(jnp.swapaxes(ji, -1, -2), winfo), jj)
+
+    h = jnp.zeros((n, 3, n, 3), ji.dtype)
+    h = h.at[graph.edge_i, :, graph.edge_i, :].add(hii)
+    h = h.at[graph.edge_j, :, graph.edge_j, :].add(hjj)
+    h = h.at[graph.edge_i, :, graph.edge_j, :].add(hij)
+    h = h.at[graph.edge_j, :, graph.edge_i, :].add(
+        jnp.swapaxes(hij, -1, -2))
+    h = h.reshape(3 * n, 3 * n)
+    h = h + lam * jnp.eye(3 * n, dtype=ji.dtype)
+    h = h.at[:3, :3].add(GAUGE * jnp.eye(3, dtype=ji.dtype))
+    delta = jnp.linalg.solve(h, rhs.reshape(-1))
+    return delta.reshape(n, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def optimize(graph: GraphArrays, config: LMConfig) -> OptimizeResult:
+    """Full LM loop (pose_graph_optimizer_lm.cpp:13-65) as one jitted
+    program: step -> total error -> convergence check -> lambda update."""
+    loss = robust_loss.create(config.loss_name, config.loss_scale)
+    poses0 = jnp.asarray(graph.poses, jnp.float32)
+    n = poses0.shape[0]
+
+    def lm_step(poses, lam):
+        ji, jj, winfo, _, _, b = _build_normal_terms(poses, graph, loss)
+        if config.solver == "dense":
+            delta = _dense_solve(-b, graph, ji, jj, winfo, lam, n)
+        else:
+            diag = _block_diag(graph, ji, jj, winfo, lam, n)
+            diag_inv = jnp.linalg.inv(diag)
+            delta = _pcg_solve(-b, graph, ji, jj, winfo, lam, diag_inv,
+                               config.cg_max_iterations, config.cg_tolerance)
+        new_poses = poses + delta * graph.node_mask[:, None]
+        return new_poses
+
+    init = dict(
+        poses=poses0,
+        lam=jnp.asarray(config.initial_lambda, jnp.float32),
+        prev_err=jnp.asarray(jnp.finfo(jnp.float32).max),
+        err=jnp.asarray(jnp.finfo(jnp.float32).max),
+        iters=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    def cond(s):
+        return ~s["done"]
+
+    def body(s):
+        poses = lm_step(s["poses"], s["lam"])
+        err = total_error(poses, graph, loss)
+        iters = s["iters"] + 1
+        done = (iters >= config.max_iterations) | \
+               (jnp.abs(s["prev_err"] - err) < config.error_tolerance)
+        decreased = err < s["prev_err"]
+        lam = jnp.where(decreased, s["lam"] * 0.5, s["lam"] * 2.0)
+        return dict(poses=poses, lam=lam, prev_err=err, err=err,
+                    iters=iters, done=done)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return OptimizeResult(
+        poses=final["poses"],
+        total_error=final["err"],
+        iterations=final["iters"],
+    )
