@@ -19,6 +19,23 @@ from my_lidar_graph_slam_tpu.sensor.data import RawScan
 from my_lidar_graph_slam_tpu.utils import se2
 
 
+WORLD_ROTATION = 0.1  # radians
+
+
+def _rotate_segments(segs: np.ndarray, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    p0 = segs[:, 0:2] @ rot.T
+    p1 = segs[:, 2:4] @ rot.T
+    return np.concatenate([p0, p1], axis=1)
+
+
+def rotate_points(pts: np.ndarray, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    return pts @ rot.T
+
+
 def default_world() -> np.ndarray:
     """Wall segments [M, 4] as (x0, y0, x1, y1): a two-room office loop."""
     segs = []
@@ -35,19 +52,34 @@ def default_world() -> np.ndarray:
     segs.append((-11.0, -5.5, -8.5, -5.5))
     segs.append((-7.0, -5.5, -4.0, -5.5))
     segs.append((-4.0, -5.5, -4.0, -8.0))
-    # Pillar-ish features for matchability in the corridor.
+    # Pillar-ish features for matchability in the corridor: every few meters
+    # each corridor lane has a feature breaking the longitudinal ambiguity.
     box(8.0, -6.5, 8.8, -5.7)
     box(-9.2, 4.8, -8.4, 5.6)
     box(7.6, 4.6, 8.4, 5.4)
-    return np.asarray(segs, dtype=np.float64)
+    box(-5.8, -6.6, -5.4, -6.2)
+    box(0.0, -7.2, 0.4, -6.8)
+    box(4.4, -6.9, 4.8, -6.5)
+    box(-9.6, -0.4, -9.2, 0.0)
+    box(9.2, -0.6, 9.6, -0.2)
+    box(-2.4, 6.6, -2.0, 7.0)
+    box(3.0, 6.4, 3.4, 6.8)
+    segs_arr = np.asarray(segs, dtype=np.float64)
+    # Rotate the whole world a few degrees: axis-aligned walls whose
+    # coordinates are exact multiples of the map resolution share one
+    # quantization phase, which makes the correlative score surface a
+    # coherent sawtooth whose noise rectification drags the matcher
+    # systematically backward — an artifact real buildings don't exhibit.
+    return _rotate_segments(segs_arr, WORLD_ROTATION)
 
 
 def loop_waypoints() -> np.ndarray:
     """A rectangular loop through the corridor of :func:`default_world`."""
-    return np.array([
+    wps = np.array([
         [-8.5, -5.0], [8.5, -5.0], [8.5, 5.0], [-8.5, 5.0], [-8.5, -5.0],
         [8.5, -5.0],
     ])
+    return rotate_points(wps, WORLD_ROTATION)
 
 
 def trajectory_from_waypoints(waypoints: np.ndarray,

@@ -1,0 +1,306 @@
+"""Loop-closure candidate search and detection.
+
+Search: vectorized nearest-node candidate search over a host snapshot
+(LoopSearcherNearest, loop_searcher_nearest.cpp:13-108). The reference's
+early-break on remaining travel distance is equivalent to masking nodes
+whose remaining travel is below the threshold (the remaining distance is
+monotonically decreasing along the trajectory), which makes the whole search
+one masked argmin.
+
+Detection: four strategies mirroring the reference detectors
+(loop_detector_{branch_bound,real_time_correlative,grid_search,empty}.cpp),
+each matching candidate nodes' scans against an old finished local map and
+emitting loop edges ``InverseCompound(anchorPose, matchedPose)``
+(loop_detector_branch_bound.cpp:76-88).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from my_lidar_graph_slam_tpu.models import map_builder as mb
+from my_lidar_graph_slam_tpu.models.pose_graph import PoseGraph
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.ops import matchers, pyramid as pyrops
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+@dataclasses.dataclass
+class LoopCandidate:
+    """One candidate (loop_searcher.hpp:61-82): recent node window vs an old
+    local map anchored at its nearest node."""
+
+    node_indices: List[int]
+    local_map_idx: int
+    local_map_node_idx: int
+
+
+@dataclasses.dataclass
+class LoopDetectionResult:
+    """Mirror of LoopDetectionResult (loop_detector.hpp:66-100)."""
+
+    relative_pose: np.ndarray   # [3]
+    start_node_pose: np.ndarray  # [3] anchor (old map) node pose
+    start_node_idx: int
+    end_node_idx: int
+    covariance: np.ndarray      # [3, 3] world frame
+
+
+@dataclasses.dataclass
+class LoopSearcherNearest:
+    """Nearest-node candidate search (loop_searcher_nearest.cpp:13-108)."""
+
+    travel_dist_threshold: float = 10.0
+    node_dist_max: float = 5.0
+    num_candidate_nodes: int = 2
+
+    def search(self, graph: PoseGraph,
+               builder: mb.GridMapBuilder) -> List[LoopCandidate]:
+        maps = builder.local_maps
+        n_nodes = graph.num_nodes
+        if not maps or n_nodes == 0 or len(maps) < 2:
+            return []
+
+        latest_idx = n_nodes - 1
+        robot_pose = graph.poses[latest_idx]
+        poses = graph.node_poses()
+
+        # Prefix travel distance per node (the reference accumulates it while
+        # walking nodes in order, loop_searcher_nearest.cpp:53-65).
+        seg = np.hypot(*(np.diff(poses[:, :2], axis=0).T))
+        travel = np.concatenate([[0.0], np.cumsum(seg)])
+        accum = builder.accum_travel_dist
+
+        # Eligible nodes: inside a FINISHED local map (all but the last) and
+        # with enough remaining travel distance (recency guard).
+        last_finished_max = maps[-2].node_idx_max
+        node_ids = np.arange(n_nodes)
+        eligible = (node_ids <= last_finished_max) & \
+            (accum - travel >= self.travel_dist_threshold)
+        if not eligible.any():
+            return []
+
+        d2 = ((poses[:, :2] - robot_pose[:2]) ** 2).sum(axis=1)
+        d2 = np.where(eligible, d2, np.inf)
+        best = int(np.argmin(d2))
+        if d2[best] >= self.node_dist_max ** 2:
+            return []
+
+        # Which local map owns the winning node.
+        map_idx = next(m.idx for m in maps
+                       if m.node_idx_min <= best <= m.node_idx_max)
+
+        # Candidate window around the latest node, clamped to the latest
+        # local map's span (loop_searcher_nearest.cpp:90-102).
+        latest_map = maps[-1]
+        lo = max(latest_map.node_idx_min,
+                 latest_idx - self.num_candidate_nodes)
+        hi = min(latest_map.node_idx_max,
+                 latest_idx + self.num_candidate_nodes)
+        return [LoopCandidate(
+            node_indices=list(range(lo, hi + 1)),
+            local_map_idx=map_idx,
+            local_map_node_idx=best)]
+
+
+def _scan_args(st: mb.ScanStore, scan_id: int):
+    return dict(
+        ranges=jnp.asarray(st.ranges[scan_id]),
+        angles=jnp.asarray(st.angles[scan_id]),
+        valid=jnp.asarray(st.valid[scan_id]),
+        scan_min_range=jnp.asarray(st.min_range[scan_id]),
+        scan_max_range=jnp.asarray(st.max_range[scan_id]),
+        rel_sensor_pose=jnp.asarray(st.rel_sensor_pose[scan_id]),
+    )
+
+
+@dataclasses.dataclass
+class LoopDetectorBranchBound:
+    """BB detection (loop_detector_branch_bound.cpp:26-118)."""
+
+    score_threshold: float = 0.6
+    node_height_max: int = 6
+    range_x: float = 2.0
+    range_y: float = 2.0
+    range_theta: float = 1.0
+    scan_range_max: float = 20.0
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    frontier_cap: int = 4096
+    greedy_params: tuple = ()
+
+    def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+               candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
+        results: List[LoopDetectionResult] = []
+        cfg = builder.config
+        win_x = int(np.ceil(0.5 * self.range_x / cfg.resolution))
+        win_y = int(np.ceil(0.5 * self.range_y / cfg.resolution))
+        win_t = matchers.static_max_theta_window(
+            cfg.resolution, self.scan_range_max, self.range_theta)
+
+        for cand in candidates:
+            lm = builder.local_maps[cand.local_map_idx]
+            assert lm.finished
+            pyr = builder.pyramid_for(lm, self.node_height_max)
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+
+            for node_idx in cand.node_indices:
+                scan_id = int(graph.scan_ids[node_idx])
+                summary = matchers.branch_bound_match(
+                    pyr, lm.grid,
+                    jnp.asarray(graph.poses[node_idx], jnp.float32),
+                    scan_range_max=jnp.asarray(self.scan_range_max,
+                                               jnp.float32),
+                    range_theta=jnp.asarray(self.range_theta, jnp.float32),
+                    usable_range_min=jnp.asarray(self.usable_range_min,
+                                                 jnp.float32),
+                    usable_range_max=jnp.asarray(self.usable_range_max,
+                                                 jnp.float32),
+                    normalized_score_threshold=jnp.asarray(
+                        self.score_threshold, jnp.float32),
+                    node_height_max=self.node_height_max,
+                    win_x=win_x, win_y=win_y, win_theta_max=win_t,
+                    frontier_cap=self.frontier_cap,
+                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
+                    greedy_params=self.greedy_params,
+                    **_scan_args(builder.scans, scan_id))
+                if not bool(summary.pose_found):
+                    continue  # silent skip (loop_detector_branch_bound.cpp:74)
+                matched = np.asarray(summary.estimated_pose, np.float64)
+                rel = se2.inverse_compound_np(anchor_pose, matched)
+                results.append(LoopDetectionResult(
+                    relative_pose=rel,
+                    start_node_pose=anchor_pose.copy(),
+                    start_node_idx=cand.local_map_node_idx,
+                    end_node_idx=node_idx,
+                    covariance=np.asarray(summary.covariance, np.float64)))
+        return results
+
+
+@dataclasses.dataclass
+class LoopDetectorCorrelative:
+    """Correlative detection (loop_detector_real_time_correlative.cpp:26-128).
+
+    TPU variant: a two-stage batched sweep — coarse lattice scores on the
+    windowed-max map prune to the best blocks, which are refined on the fine
+    map — replacing the reference's sequential prune loop
+    (scan_matcher_real_time_correlative.cpp:88-116).
+    """
+
+    score_threshold: float = 0.6
+    low_resolution: int = 5
+    range_x: float = 5.0
+    range_y: float = 5.0
+    range_theta: float = 1.0
+    scan_range_max: float = 20.0
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    refine_blocks: int = 512
+    greedy_params: tuple = ()
+
+    def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+               candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
+        from my_lidar_graph_slam_tpu.ops import correlative_coarse
+
+        results: List[LoopDetectionResult] = []
+        cfg = builder.config
+        for cand in candidates:
+            lm = builder.local_maps[cand.local_map_idx]
+            coarse = correlative_coarse.coarse_map_for(
+                builder, lm, self.low_resolution)
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+            for node_idx in cand.node_indices:
+                scan_id = int(graph.scan_ids[node_idx])
+                summary = correlative_coarse.two_stage_match(
+                    coarse, gridops.values(lm.grid), lm.grid,
+                    jnp.asarray(graph.poses[node_idx], jnp.float32),
+                    low_resolution=self.low_resolution,
+                    range_x=self.range_x, range_y=self.range_y,
+                    range_theta=self.range_theta,
+                    scan_range_max=self.scan_range_max,
+                    usable_range_min=self.usable_range_min,
+                    usable_range_max=self.usable_range_max,
+                    score_threshold=self.score_threshold,
+                    refine_blocks=self.refine_blocks,
+                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
+                    greedy_params=self.greedy_params,
+                    scan_store=builder.scans, scan_id=scan_id)
+                if summary is None or not bool(summary.pose_found):
+                    continue
+                matched = np.asarray(summary.estimated_pose, np.float64)
+                rel = se2.inverse_compound_np(anchor_pose, matched)
+                results.append(LoopDetectionResult(
+                    relative_pose=rel,
+                    start_node_pose=anchor_pose.copy(),
+                    start_node_idx=cand.local_map_node_idx,
+                    end_node_idx=node_idx,
+                    covariance=np.asarray(summary.covariance, np.float64)))
+        return results
+
+
+@dataclasses.dataclass
+class LoopDetectorGridSearch:
+    """Exhaustive detection (loop_detector_grid_search.cpp:26-109)."""
+
+    score_threshold: float = 0.5
+    range_x: float = 2.0
+    range_y: float = 2.0
+    range_theta: float = 0.5
+    step_x: float = 0.05
+    step_y: float = 0.05
+    step_theta: float = 0.005
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    greedy_params: tuple = ()
+
+    def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+               candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
+        results: List[LoopDetectionResult] = []
+        nx = 2 * int(np.floor(0.5 * self.range_x / self.step_x)) + 1
+        ny = 2 * int(np.floor(0.5 * self.range_y / self.step_y)) + 1
+        nt = 2 * int(np.floor(0.5 * self.range_theta / self.step_theta)) + 1
+        for cand in candidates:
+            lm = builder.local_maps[cand.local_map_idx]
+            vals = gridops.values(lm.grid)
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+            for node_idx in cand.node_indices:
+                scan_id = int(graph.scan_ids[node_idx])
+                summary = matchers.grid_search_match(
+                    vals, lm.grid,
+                    jnp.asarray(graph.poses[node_idx], jnp.float32),
+                    usable_range_min=jnp.asarray(self.usable_range_min,
+                                                 jnp.float32),
+                    usable_range_max=jnp.asarray(self.usable_range_max,
+                                                 jnp.float32),
+                    normalized_score_threshold=jnp.asarray(
+                        self.score_threshold, jnp.float32),
+                    step_x=jnp.asarray(self.step_x, jnp.float32),
+                    step_y=jnp.asarray(self.step_y, jnp.float32),
+                    step_t=jnp.asarray(self.step_theta, jnp.float32),
+                    nx=nx, ny=ny, nt=nt,
+                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
+                    greedy_params=self.greedy_params,
+                    **_scan_args(builder.scans, scan_id))
+                if not bool(summary.pose_found):
+                    continue
+                matched = np.asarray(summary.estimated_pose, np.float64)
+                rel = se2.inverse_compound_np(anchor_pose, matched)
+                results.append(LoopDetectionResult(
+                    relative_pose=rel,
+                    start_node_pose=anchor_pose.copy(),
+                    start_node_idx=cand.local_map_node_idx,
+                    end_node_idx=node_idx,
+                    covariance=np.asarray(summary.covariance, np.float64)))
+        return results
+
+
+@dataclasses.dataclass
+class LoopDetectorEmpty:
+    """No-op detector (loop_detector_empty.cpp:10-19)."""
+
+    def detect(self, graph, builder, candidates):
+        return []

@@ -1,0 +1,295 @@
+"""Submap management: local maps, latest map, rebuilds.
+
+TPU-native redesign of GridMapBuilder (grid_map_builder.{hpp,cpp}): local
+maps are fixed-size dense log-odds tensors centered at the robot pose at
+creation time (replacing the growing patch-paged maps), the latest map is
+rebuilt from the last N scans as one batched ray-cast program, and the
+post-loop-closure rebuild of every local map reuses the same batched
+integration kernel (grid_map_builder.cpp:62-80, 227-332).
+
+Scan tensors for all pose-graph nodes live in a :class:`ScanStore` —
+fixed-width (beam-capacity) host arrays handed to device programs in
+statically bucketed batches so recompilation stays bounded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from my_lidar_graph_slam_tpu.models.pose_graph import PoseGraph
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.ops import pyramid as pyrops
+from my_lidar_graph_slam_tpu.ops import raycast
+from my_lidar_graph_slam_tpu.sensor.data import RawScan
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class ScanStore:
+    """Fixed-width scan tensors for every pose-graph node."""
+
+    def __init__(self, beam_capacity: int = 1024):
+        self.beam_capacity = beam_capacity
+        cap = 64
+        self.ranges = np.zeros((cap, beam_capacity), np.float32)
+        self.angles = np.zeros((cap, beam_capacity), np.float32)
+        self.valid = np.zeros((cap, beam_capacity), bool)
+        self.min_range = np.zeros((cap,), np.float32)
+        self.max_range = np.zeros((cap,), np.float32)
+        self.rel_sensor_pose = np.zeros((cap, 3), np.float32)
+        self.raw_beams = np.zeros((cap,), np.int32)
+        self.timestamps = np.zeros((cap,), np.float64)
+        self.count = 0
+
+    def _grow(self, need: int):
+        cap = self.ranges.shape[0]
+        if need <= cap:
+            return
+        new_cap = _bucket(need, 64)
+        for name in ("ranges", "angles", "valid", "min_range", "max_range",
+                     "rel_sensor_pose", "raw_beams", "timestamps"):
+            arr = getattr(self, name)
+            new = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+            new[:cap] = arr
+            setattr(self, name, new)
+
+    def append(self, scan: RawScan) -> int:
+        idx = self.count
+        self._grow(idx + 1)
+        n = min(scan.num_beams, self.beam_capacity)
+        self.ranges[idx, :n] = scan.ranges[:n]
+        self.ranges[idx, n:] = 0.0
+        self.angles[idx, :n] = scan.angles[:n]
+        self.angles[idx, n:] = 0.0
+        self.valid[idx, :n] = True
+        self.valid[idx, n:] = False
+        self.min_range[idx] = scan.min_range
+        self.max_range[idx] = scan.max_range
+        self.rel_sensor_pose[idx] = scan.rel_sensor_pose
+        self.raw_beams[idx] = scan.num_beams
+        self.timestamps[idx] = scan.timestamp
+        self.count += 1
+        return idx
+
+
+@dataclasses.dataclass
+class LocalMap:
+    """Mirror of LocalMapInfo (grid_map_builder.hpp:31-109)."""
+
+    idx: int
+    grid: gridops.GridMap
+    node_idx_min: int
+    node_idx_max: int
+    finished: bool = False
+    pyramid: Optional[jnp.ndarray] = None  # cached coarse-map stack
+
+    @property
+    def precomputed(self) -> bool:
+        return self.pyramid is not None
+
+
+@dataclasses.dataclass
+class MapBuilderConfig:
+    resolution: float = 0.05
+    local_map_size: int = 1536        # cells per side (dense submap tensor)
+    latest_map_size: int = 1024
+    num_scans_for_latest_map: int = 10
+    travel_dist_threshold: float = 20.0   # new local map spacing (m)
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    prob_hit: float = 0.6
+    prob_miss: float = 0.45
+    max_ray_steps: int = 448
+
+
+class GridMapBuilder:
+    """Owns the local maps and the latest map (grid_map_builder.cpp:20-95)."""
+
+    def __init__(self, config: MapBuilderConfig, scan_store: ScanStore):
+        self.config = config
+        self.scans = scan_store
+        self.local_maps: List[LocalMap] = []
+        self.latest_map: Optional[gridops.GridMap] = None
+        self.latest_scan_idx_min = 0
+        self.latest_scan_idx_max = 0
+        self.accum_travel_dist = 0.0
+        self.travel_dist_last_local_map = 0.0
+        self.last_robot_pose = np.zeros(3)
+
+    # -- scan integration ----------------------------------------------------
+
+    def append_scan(self, graph: PoseGraph) -> bool:
+        """Integrate the latest node's scan (grid_map_builder.cpp:48-59).
+
+        Returns True when a new local map was created.
+        """
+        created = self._update_local_maps(graph)
+        self._update_latest_map(graph)
+        return created
+
+    def _update_local_maps(self, graph: PoseGraph) -> bool:
+        cfg = self.config
+        node_idx = graph.num_nodes - 1
+        robot_pose = graph.poses[node_idx]
+        scan_id = int(graph.scan_ids[node_idx])
+
+        if self.local_maps:
+            rel = se2.inverse_compound_np(self.last_robot_pose, robot_pose)
+            d = float(np.hypot(rel[0], rel[1]))
+            self.accum_travel_dist += d
+            self.travel_dist_last_local_map += d
+        self.last_robot_pose = robot_pose.copy()
+
+        create_new = (not self.local_maps) or \
+            (self.travel_dist_last_local_map >= cfg.travel_dist_threshold)
+        if create_new:
+            if self.local_maps:
+                self.local_maps[-1].finished = True
+            g = gridops.empty(cfg.local_map_size, cfg.local_map_size,
+                              cfg.resolution, center=robot_pose[:2])
+            self.local_maps.append(LocalMap(
+                idx=len(self.local_maps), grid=g,
+                node_idx_min=node_idx, node_idx_max=node_idx))
+            self.travel_dist_last_local_map = 0.0
+
+        lm = self.local_maps[-1]
+        lm.grid = self._integrate_one(lm.grid, robot_pose, scan_id)
+        lm.node_idx_max = node_idx
+        lm.pyramid = None  # the map changed; invalidate the coarse cache
+        return create_new
+
+    def _integrate_one(self, grid, robot_pose, scan_id: int):
+        cfg = self.config
+        st = self.scans
+        sensor_pose = se2.compound_np(robot_pose,
+                                      st.rel_sensor_pose[scan_id])
+        return raycast.integrate_scan(
+            grid,
+            jnp.asarray(sensor_pose, jnp.float32),
+            jnp.asarray(st.ranges[scan_id]),
+            jnp.asarray(st.angles[scan_id]),
+            jnp.asarray(st.valid[scan_id]),
+            max(cfg.usable_range_min, float(st.min_range[scan_id])),
+            min(cfg.usable_range_max, float(st.max_range[scan_id])),
+            prob_hit=cfg.prob_hit, prob_miss=cfg.prob_miss,
+            max_steps=cfg.max_ray_steps)
+
+    def _update_latest_map(self, graph: PoseGraph):
+        """Rebuild the last-N-scans map (grid_map_builder.cpp:196-207)."""
+        cfg = self.config
+        last = graph.num_nodes - 1
+        self.latest_scan_idx_min = max(
+            0, last - cfg.num_scans_for_latest_map + 1)
+        self.latest_scan_idx_max = last
+        center = graph.poses[last][:2]
+        g = gridops.empty(cfg.latest_map_size, cfg.latest_map_size,
+                          cfg.resolution, center=center)
+        self.latest_map = self._construct_from_nodes(
+            g, graph, self.latest_scan_idx_min, self.latest_scan_idx_max,
+            batch=cfg.num_scans_for_latest_map)
+
+    def _construct_from_nodes(self, grid, graph: PoseGraph,
+                              idx_min: int, idx_max: int,
+                              batch: Optional[int] = None):
+        """Batched ConstructMapFromScans (grid_map_builder.cpp:227-332).
+
+        Integrates nodes [idx_min, idx_max] in order, in statically-bucketed
+        chunks so compiled program shapes stay bounded.
+        """
+        cfg = self.config
+        st = self.scans
+        count = idx_max - idx_min + 1
+        k = batch or min(_bucket(count), 128)
+        for chunk_start in range(idx_min, idx_max + 1, k):
+            chunk_end = min(chunk_start + k, idx_max + 1)
+            m = chunk_end - chunk_start
+            ids = graph.scan_ids[chunk_start:chunk_end].astype(np.int64)
+            poses = np.zeros((k, 3), np.float32)
+            poses[:m] = graph.poses[chunk_start:chunk_end]
+            ranges = np.zeros((k, st.beam_capacity), np.float32)
+            angles = np.zeros((k, st.beam_capacity), np.float32)
+            valid = np.zeros((k, st.beam_capacity), bool)
+            rel = np.zeros((k, 3), np.float32)
+            rmin = np.full((k,), cfg.usable_range_min, np.float32)
+            rmax = np.full((k,), cfg.usable_range_max, np.float32)
+            active = np.zeros((k,), bool)
+            ranges[:m] = st.ranges[ids]
+            angles[:m] = st.angles[ids]
+            valid[:m] = st.valid[ids]
+            rel[:m] = st.rel_sensor_pose[ids]
+            rmin[:m] = np.maximum(cfg.usable_range_min, st.min_range[ids])
+            rmax[:m] = np.minimum(cfg.usable_range_max, st.max_range[ids])
+            active[:m] = True
+            grid = raycast.integrate_scans(
+                grid, jnp.asarray(poses), jnp.asarray(ranges),
+                jnp.asarray(angles), jnp.asarray(valid), jnp.asarray(rel),
+                jnp.asarray(rmin), jnp.asarray(rmax),
+                scan_active=jnp.asarray(active),
+                prob_hit=cfg.prob_hit, prob_miss=cfg.prob_miss,
+                max_steps=cfg.max_ray_steps)
+        return grid
+
+    # -- loop closure --------------------------------------------------------
+
+    def after_loop_closure(self, graph: PoseGraph):
+        """Rebuild every local map + the latest map from optimized poses
+        (grid_map_builder.cpp:62-80)."""
+        cfg = self.config
+        for lm in self.local_maps:
+            center_pose = graph.poses[lm.node_idx_min]
+            g = gridops.empty(cfg.local_map_size, cfg.local_map_size,
+                              cfg.resolution, center=center_pose[:2])
+            lm.grid = self._construct_from_nodes(
+                g, graph, lm.node_idx_min, lm.node_idx_max)
+            lm.pyramid = None
+        self._update_latest_map(graph)
+        self._update_accum_travel_dist(graph)
+
+    def _update_accum_travel_dist(self, graph: PoseGraph):
+        """Recompute total travel from node poses
+        (grid_map_builder.cpp:210-224)."""
+        poses = graph.node_poses()
+        if len(poses) < 2:
+            self.accum_travel_dist = 0.0
+            return
+        d = np.diff(poses[:, :2], axis=0)
+        self.accum_travel_dist = float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+    # -- global map ----------------------------------------------------------
+
+    def construct_global_map(self, graph: PoseGraph) -> gridops.GridMap:
+        """Re-integrate every scan into one map sized to the trajectory
+        bounding box (grid_map_builder.cpp:83-95)."""
+        cfg = self.config
+        st = self.scans
+        n = graph.num_nodes
+        poses = graph.node_poses()
+        margin = cfg.usable_range_max + 1.0
+        lo = poses[:, :2].min(axis=0) - margin
+        hi = poses[:, :2].max(axis=0) + margin
+        center = 0.5 * (lo + hi)
+        size_m = float((hi - lo).max())
+        cells = int(np.ceil(size_m / cfg.resolution))
+        cells = min(_bucket(cells, 256), 4096)
+        g = gridops.empty(cells, cells, cfg.resolution, center=center)
+        return self._construct_from_nodes(g, graph, 0, n - 1)
+
+    # -- pyramid cache -------------------------------------------------------
+
+    def pyramid_for(self, lm: LocalMap, height_max: int) -> jnp.ndarray:
+        """Lazily build + cache the coarse-map stack for loop detection
+        (the mPrecomputedMaps cache, loop_detector_branch_bound.cpp:52-60)."""
+        if lm.pyramid is None or lm.pyramid.shape[0] != height_max + 1:
+            lm.pyramid = pyrops.build_pyramid(
+                gridops.values(lm.grid), height_max)
+        return lm.pyramid

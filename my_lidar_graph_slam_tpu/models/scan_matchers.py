@@ -1,0 +1,212 @@
+"""Frontend scan-matcher strategy wrappers.
+
+Thin host-side strategy objects over the jitted matcher kernels in
+``ops/matchers.py``, mirroring the reference's factory-constructed matcher
+polymorphism (slam_launcher.cpp:325-480, scan_matcher.hpp:83-103). Each
+wrapper exposes ``match(grid, scan_store, scan_id, initial_pose)``.
+
+Default greedy-endpoint parameters replicate the launcher's *effective*
+configuration, including the swapped (scale, sigma) constructor arguments —
+see ops/cost.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.ops import matchers, pyramid as pyrops
+
+# Effective defaults given launcher_settings_default.json:2-9 and the
+# constructor-argument swap at slam_launcher.cpp:70-72.
+DEFAULT_GREEDY_PARAMS = (
+    ("hit_and_missed_dist", 0.075),
+    ("occupancy_threshold", 0.1),
+    ("kernel_size", 1),
+    ("standard_deviation", 1.0),
+    ("scaling_factor", 0.05),
+)
+
+
+def _scan_args(store, scan_id: int):
+    return dict(
+        ranges=jnp.asarray(store.ranges[scan_id]),
+        angles=jnp.asarray(store.angles[scan_id]),
+        valid=jnp.asarray(store.valid[scan_id]),
+        scan_min_range=jnp.asarray(store.min_range[scan_id]),
+        scan_max_range=jnp.asarray(store.max_range[scan_id]),
+        rel_sensor_pose=jnp.asarray(store.rel_sensor_pose[scan_id]),
+    )
+
+
+@dataclasses.dataclass
+class CorrelativeMatcher:
+    """ScanMatcherRealTimeCorrelative config
+    (launcher_settings_default.json:42-50)."""
+
+    low_resolution: int = 5      # kept for config parity; the TPU kernel
+    range_x: float = 0.2         # evaluates the full window directly
+    range_y: float = 0.2
+    range_theta: float = 0.5
+    scan_range_max: float = 20.0
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    cost_type: str = "greedy_endpoint"
+    greedy_params: tuple = DEFAULT_GREEDY_PARAMS
+
+    def match(self, grid: gridops.GridMap, store, scan_id: int,
+              initial_pose) -> matchers.MatchSummary:
+        res = float(grid.resolution)
+        win_x = int(np.ceil(0.5 * self.range_x / res))
+        win_y = int(np.ceil(0.5 * self.range_y / res))
+        win_t = matchers.static_max_theta_window(
+            res, self.scan_range_max, self.range_theta)
+        return matchers.correlative_match(
+            gridops.values(grid), grid,
+            jnp.asarray(initial_pose, jnp.float32),
+            scan_range_max=jnp.asarray(self.scan_range_max, jnp.float32),
+            range_theta=jnp.asarray(self.range_theta, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            cost_type=self.cost_type,
+            num_total_beams=int(store.raw_beams[scan_id]),
+            greedy_params=self.greedy_params,
+            **_scan_args(store, scan_id))
+
+
+@dataclasses.dataclass
+class BranchBoundMatcher:
+    """ScanMatcherBranchBound config (launcher_settings_default.json:132-141).
+
+    As a frontend matcher it precomputes the pyramid per call, like
+    ScanMatcherBranchBound::OptimizePose (scan_matcher_branch_bound.cpp:37-39).
+    """
+
+    node_height_max: int = 6
+    range_x: float = 2.0
+    range_y: float = 2.0
+    range_theta: float = 1.0
+    scan_range_max: float = 20.0
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    frontier_cap: int = 4096
+    cost_type: str = "greedy_endpoint"
+    greedy_params: tuple = DEFAULT_GREEDY_PARAMS
+
+    def match(self, grid, store, scan_id, initial_pose):
+        res = float(grid.resolution)
+        pyr = pyrops.build_pyramid(gridops.values(grid), self.node_height_max)
+        win_x = int(np.ceil(0.5 * self.range_x / res))
+        win_y = int(np.ceil(0.5 * self.range_y / res))
+        win_t = matchers.static_max_theta_window(
+            res, self.scan_range_max, self.range_theta)
+        return matchers.branch_bound_match(
+            pyr, grid, jnp.asarray(initial_pose, jnp.float32),
+            scan_range_max=jnp.asarray(self.scan_range_max, jnp.float32),
+            range_theta=jnp.asarray(self.range_theta, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            node_height_max=self.node_height_max,
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            frontier_cap=self.frontier_cap,
+            cost_type=self.cost_type,
+            num_total_beams=int(store.raw_beams[scan_id]),
+            greedy_params=self.greedy_params,
+            **_scan_args(store, scan_id))
+
+
+@dataclasses.dataclass
+class GridSearchMatcher:
+    """ScanMatcherGridSearch config
+    (launcher_settings_default.json:71-82)."""
+
+    range_x: float = 2.0
+    range_y: float = 2.0
+    range_theta: float = 0.5
+    step_x: float = 0.05
+    step_y: float = 0.05
+    step_theta: float = 0.005
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    cost_type: str = "greedy_endpoint"
+    greedy_params: tuple = DEFAULT_GREEDY_PARAMS
+
+    def match(self, grid, store, scan_id, initial_pose):
+        nx = 2 * int(np.floor(0.5 * self.range_x / self.step_x)) + 1
+        ny = 2 * int(np.floor(0.5 * self.range_y / self.step_y)) + 1
+        nt = 2 * int(np.floor(0.5 * self.range_theta / self.step_theta)) + 1
+        return matchers.grid_search_match(
+            gridops.values(grid), grid,
+            jnp.asarray(initial_pose, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            step_x=jnp.asarray(self.step_x, jnp.float32),
+            step_y=jnp.asarray(self.step_y, jnp.float32),
+            step_t=jnp.asarray(self.step_theta, jnp.float32),
+            nx=nx, ny=ny, nt=nt,
+            cost_type=self.cost_type,
+            num_total_beams=int(store.raw_beams[scan_id]),
+            greedy_params=self.greedy_params,
+            **_scan_args(store, scan_id))
+
+
+@dataclasses.dataclass
+class HillClimbingMatcher:
+    """ScanMatcherHillClimbing config
+    (launcher_settings_default.json:22-29)."""
+
+    linear_step: float = 0.1
+    angular_step: float = 0.1
+    max_iterations: int = 100
+    max_refinements: int = 5
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    cost_type: str = "greedy_endpoint"
+    greedy_params: tuple = DEFAULT_GREEDY_PARAMS
+
+    def match(self, grid, store, scan_id, initial_pose):
+        return matchers.hill_climbing_match(
+            gridops.values(grid), grid,
+            jnp.asarray(initial_pose, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            linear_step=self.linear_step, angular_step=self.angular_step,
+            max_iterations=self.max_iterations,
+            max_refinements=self.max_refinements,
+            cost_type=self.cost_type,
+            num_total_beams=int(store.raw_beams[scan_id]),
+            greedy_params=self.greedy_params,
+            **_scan_args(store, scan_id))
+
+
+@dataclasses.dataclass
+class LinearSolverMatcher:
+    """ScanMatcherLinearSolver config
+    (launcher_settings_default.json:31-40)."""
+
+    max_iterations: int = 100
+    convergence_threshold: float = 1e-3
+    usable_range_min: float = 0.01
+    usable_range_max: float = 20.0
+    translation_regularizer: float = 1e-3
+    rotation_regularizer: float = 1e-3
+
+    def match(self, grid, store, scan_id, initial_pose):
+        return matchers.linear_solver_match(
+            gridops.values(grid), grid,
+            jnp.asarray(initial_pose, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            translation_regularizer=self.translation_regularizer,
+            rotation_regularizer=self.rotation_regularizer,
+            convergence_threshold=self.convergence_threshold,
+            max_iterations=self.max_iterations,
+            num_total_beams=int(store.raw_beams[scan_id]),
+            **_scan_args(store, scan_id))

@@ -1,0 +1,282 @@
+"""SLAM runtime orchestration: frontend, backend, facade.
+
+Mirrors the reference's L4 layer (lidar_graph_slam{,_frontend,_backend}.cpp)
+with a functional-state twist: the pose graph and grid maps are arrays, so
+the backend "snapshot" (lidar_graph_slam.cpp:52-65) is free, and the
+post-optimization merge implements the reference's trailing-odometry
+re-chaining (lidar_graph_slam.cpp:318-371) over plain arrays.
+
+The backend can run (a) synchronously interleaved with the frontend
+(deterministic, used by tests) or (b) on a worker thread like the
+reference's ``StartBackend`` (lidar_graph_slam.cpp:399-456) — jitted device
+programs release the GIL, so matching and loop closure overlap for real.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from my_lidar_graph_slam_tpu.models import loop_closure as lc
+from my_lidar_graph_slam_tpu.models import map_builder as mb
+from my_lidar_graph_slam_tpu.models import optimizer_lm
+from my_lidar_graph_slam_tpu.models.pose_graph import PoseGraph
+from my_lidar_graph_slam_tpu.models.preprocess import (ScanAccumulator,
+                                                       ScanInterpolator)
+from my_lidar_graph_slam_tpu.sensor.data import RawScan
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+@dataclasses.dataclass
+class FrontendConfig:
+    """Frontend gating thresholds (launcher_settings_default.json:187-204)."""
+
+    initial_pose: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    update_threshold_travel_dist: float = 0.5
+    update_threshold_angle: float = 0.5
+    update_threshold_time: float = 5.0
+    loop_detection_interval: int = 5
+
+
+class Frontend:
+    """Online local SLAM (lidar_graph_slam_frontend.cpp:37-145)."""
+
+    def __init__(self, config: FrontendConfig, scan_matcher,
+                 interpolator: Optional[ScanInterpolator] = None,
+                 accumulator: Optional[ScanAccumulator] = None):
+        self.config = config
+        self.matcher = scan_matcher
+        self.interpolator = interpolator
+        self.accumulator = accumulator
+        self.process_count = 0
+        self.last_odom_pose = np.zeros(3)
+        self.accumulated_travel_dist = 0.0
+        self.accumulated_angle = 0.0
+        self.last_map_update_odom = np.zeros(3)
+        self.last_map_update_time = 0.0
+
+    def process_scan(self, slam: "LidarGraphSlam", raw_scan: RawScan,
+                     odom_pose: np.ndarray) -> bool:
+        cfg = self.config
+
+        rel_odom = (np.zeros(3) if self.process_count == 0 else
+                    se2.inverse_compound_np(self.last_odom_pose, odom_pose))
+        self.last_odom_pose = odom_pose.copy()
+        self.accumulated_travel_dist += float(np.hypot(rel_odom[0],
+                                                       rel_odom[1]))
+        self.accumulated_angle += abs(float(rel_odom[2]))
+
+        if self.accumulator is not None:
+            self.accumulator.append(raw_scan)
+
+        elapsed = (0.0 if self.process_count == 0 else
+                   raw_scan.timestamp - self.last_map_update_time)
+        update_needed = (
+            self.accumulated_travel_dist >= cfg.update_threshold_travel_dist
+            or self.accumulated_angle >= cfg.update_threshold_angle
+            or elapsed >= cfg.update_threshold_time
+            or self.process_count == 0)
+        if not update_needed:
+            return False
+
+        scan = (self.accumulator.concatenated()
+                if self.accumulator is not None else raw_scan)
+        if self.interpolator is not None:
+            scan = self.interpolator(scan)
+
+        if self.process_count == 0:
+            slam.append_first_node(cfg.initial_pose, scan)
+        else:
+            latest_pose = slam.graph.latest_pose()
+            latest_map = slam.builder.latest_map
+            rel_from_update = se2.inverse_compound_np(
+                self.last_map_update_odom, odom_pose)
+            initial_pose = se2.compound_np(latest_pose, rel_from_update)
+
+            scan_id = slam.scans.append(scan)
+            summary = self.matcher.match(
+                latest_map, slam.scans, scan_id, initial_pose)
+            assert bool(summary.pose_found), "scan matching failed"
+            estimated = np.asarray(summary.estimated_pose, np.float64)
+
+            # Relative pose against the pre-matching latest pose; the node
+            # pose is recomputed from the CURRENT latest node inside
+            # append_odometry_node_and_edge, which is what keeps the frontend
+            # correct under concurrent loop closure
+            # (lidar_graph_slam.cpp:210-229).
+            edge_rel = se2.inverse_compound_np(latest_pose, estimated)
+            slam.append_odometry_node_and_edge(
+                scan_id, edge_rel, np.asarray(summary.covariance, np.float64))
+
+        slam.update_grid_map()
+
+        if (self.process_count > cfg.loop_detection_interval and
+                self.process_count % cfg.loop_detection_interval == 0):
+            slam.notify_backend()
+
+        self.process_count += 1
+        self.accumulated_travel_dist = 0.0
+        self.accumulated_angle = 0.0
+        self.last_map_update_odom = odom_pose.copy()
+        self.last_map_update_time = scan.timestamp
+        return True
+
+
+class Backend:
+    """Loop closure + optimization worker
+    (lidar_graph_slam_backend.cpp:21-60)."""
+
+    def __init__(self, searcher: lc.LoopSearcherNearest, detector,
+                 lm_config: optimizer_lm.LMConfig):
+        self.searcher = searcher
+        self.detector = detector
+        self.lm_config = lm_config
+        self.num_loop_closures = 0
+
+    def run_once(self, slam: "LidarGraphSlam") -> int:
+        """One backend pass; returns the number of accepted loop edges."""
+        candidates = self.searcher.search(slam.graph, slam.builder)
+        if not candidates:
+            return 0
+        results = self.detector.detect(slam.graph, slam.builder, candidates)
+        if not results:
+            return 0
+        slam.append_loop_closing_edges(results)
+
+        snapshot = slam.graph.snapshot()
+        optimized_count = slam.graph.num_nodes
+        res = optimizer_lm.optimize(snapshot, self.lm_config)
+        slam.after_loop_closure(np.asarray(res.poses, np.float64),
+                                optimized_count)
+        self.num_loop_closures += 1
+        return len(results)
+
+
+class LidarGraphSlam:
+    """Facade + shared-state owner (lidar_graph_slam.hpp:41-160)."""
+
+    def __init__(self, frontend: Frontend, backend: Optional[Backend],
+                 builder: mb.GridMapBuilder, graph: PoseGraph,
+                 threaded_backend: bool = False):
+        self.frontend = frontend
+        self.backend = backend
+        self.builder = builder
+        self.graph = graph
+        self.scans = builder.scans
+        self._lock = threading.Lock()
+        self._threaded = threaded_backend
+        self._backend_thread: Optional[threading.Thread] = None
+        self._notify = threading.Event()
+        self._stop = False
+
+    # -- frontend-facing API -------------------------------------------------
+
+    def process_scan(self, raw_scan: RawScan, odom_pose: np.ndarray) -> bool:
+        return self.frontend.process_scan(self, raw_scan, odom_pose)
+
+    @property
+    def process_count(self) -> int:
+        return self.frontend.process_count
+
+    def append_first_node(self, pose: np.ndarray, scan: RawScan):
+        with self._lock:
+            scan_id = self.scans.append(scan)
+            self.graph.append_node(np.asarray(pose, np.float64), scan_id)
+
+    def append_odometry_node_and_edge(self, scan_id: int,
+                                      edge_rel: np.ndarray,
+                                      covariance: np.ndarray):
+        """AppendOdometryNodeAndEdge (lidar_graph_slam.cpp:203-249)."""
+        with self._lock:
+            start_idx = self.graph.num_nodes - 1
+            start_pose = self.graph.poses[start_idx]
+            new_pose = se2.compound_np(start_pose, edge_rel)
+            end_idx = self.graph.append_node(new_pose, scan_id)
+            assert end_idx == start_idx + 1
+
+            rel = edge_rel.copy()
+            rel[2] = se2.normalize_angle_np(rel[2])
+            robot_cov = se2.covariance_world_to_robot_np(
+                start_pose, covariance)
+            info = np.linalg.inv(robot_cov)
+            self.graph.append_edge(start_idx, end_idx, rel, info)
+
+    def update_grid_map(self) -> bool:
+        with self._lock:
+            return self.builder.append_scan(self.graph)
+
+    # -- backend-facing API --------------------------------------------------
+
+    def append_loop_closing_edges(self,
+                                  results: List[lc.LoopDetectionResult]):
+        """AppendLoopClosingEdges (lidar_graph_slam.cpp:252-282)."""
+        with self._lock:
+            for r in results:
+                rel = r.relative_pose.copy()
+                rel[2] = se2.normalize_angle_np(rel[2])
+                robot_cov = se2.covariance_world_to_robot_np(
+                    r.start_node_pose, r.covariance)
+                info = np.linalg.inv(robot_cov)
+                self.graph.append_edge(r.start_node_idx, r.end_node_idx,
+                                       rel, info)
+
+    def after_loop_closure(self, optimized_poses: np.ndarray,
+                           optimized_count: int):
+        """Write back optimized poses and re-chain trailing odometry nodes
+        (lidar_graph_slam.cpp:318-371)."""
+        with self._lock:
+            g = self.graph
+            g.write_back_poses(optimized_poses, optimized_count)
+
+            # Nodes appended after the snapshot hang off trailing odometry
+            # edges; recompute their poses by compounding the edge relative
+            # poses from the last optimized node.
+            pose = g.poses[optimized_count - 1].copy()
+            for e in range(g.num_edges):
+                j = g.edge_j[e]
+                if g.edge_i[e] >= optimized_count - 1 and \
+                        j >= optimized_count and g.edge_is_odom[e]:
+                    pose = se2.compound_np(
+                        g.poses[g.edge_i[e]], g.edge_rel[e])
+                    g.poses[j] = pose
+
+            self.builder.after_loop_closure(g)
+
+    # -- backend thread control (lidar_graph_slam.cpp:399-456) ---------------
+
+    def start_backend(self):
+        if not self._threaded or self.backend is None:
+            return
+        assert self._backend_thread is None
+        self._stop = False
+
+        def run():
+            while not self._stop:
+                self._notify.wait()
+                self._notify.clear()
+                if self._stop:
+                    break
+                self.backend.run_once(self)
+
+        self._backend_thread = threading.Thread(target=run, daemon=True)
+        self._backend_thread.start()
+
+    def stop_backend(self):
+        if self._backend_thread is None:
+            return
+        self._stop = True
+        self._notify.set()
+        self._backend_thread.join()
+        self._backend_thread = None
+
+    def notify_backend(self):
+        if self.backend is None:
+            return
+        if self._threaded:
+            self._notify.set()
+        else:
+            self.backend.run_once(self)

@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests on synthetic worlds (scaled down for CPU CI)."""
+
+import numpy as np
+import pytest
+
+from my_lidar_graph_slam_tpu.io import synth
+from my_lidar_graph_slam_tpu.models import loop_closure as lc
+from my_lidar_graph_slam_tpu.models import map_builder as mb
+from my_lidar_graph_slam_tpu.models import optimizer_lm, slam
+from my_lidar_graph_slam_tpu.models.pose_graph import PoseGraph
+from my_lidar_graph_slam_tpu.models.preprocess import ScanInterpolator
+from my_lidar_graph_slam_tpu.models.scan_matchers import CorrelativeMatcher
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+def build_slam(detector=None, resolution=0.05, local_size=640,
+               latest_size=512, beam_capacity=512, travel_thresh=8.0,
+               initial_pose=None):
+    store = mb.ScanStore(beam_capacity=beam_capacity)
+    builder = mb.GridMapBuilder(mb.MapBuilderConfig(
+        resolution=resolution,
+        local_map_size=local_size,
+        latest_map_size=latest_size,
+        travel_dist_threshold=travel_thresh,
+        usable_range_max=12.0,
+        max_ray_steps=256,
+    ), store)
+    graph_obj = PoseGraph()
+    matcher = CorrelativeMatcher(scan_range_max=12.0, usable_range_max=12.0)
+    fe_cfg = slam.FrontendConfig(loop_detection_interval=5)
+    if initial_pose is not None:
+        fe_cfg.initial_pose = np.asarray(initial_pose, np.float64)
+    frontend = slam.Frontend(
+        fe_cfg,
+        matcher,
+        interpolator=ScanInterpolator(dist_scans=0.1,
+                                      dist_threshold_empty=0.25))
+    backend = None
+    if detector is not None:
+        backend = slam.Backend(
+            lc.LoopSearcherNearest(travel_dist_threshold=6.0,
+                                   node_dist_max=3.0,
+                                   num_candidate_nodes=2),
+            detector,
+            optimizer_lm.LMConfig(max_iterations=10))
+    return slam.LidarGraphSlam(frontend, backend, builder, graph_obj)
+
+
+def ate_rmse(est_poses, gt_poses):
+    """Aligned (first-pose-anchored) translational RMSE."""
+    err = est_poses[:, :2] - gt_poses[:, :2]
+    return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+
+@pytest.fixture(scope="module")
+def corridor_run():
+    """Straight 8 m corridor run, no loop."""
+    wps = synth.rotate_points(np.array([[-8.5, -5.0], [0.5, -5.0]]),
+                              synth.WORLD_ROTATION)
+    cfg = synth.SimConfig(step=0.25, max_range=12.0, seed=1)
+    scans, gt = synth.simulate(waypoints=wps, config=cfg)
+    return scans, gt
+
+
+def test_frontend_odometry_only_slice(corridor_run):
+    """Config 1 analog: correlative frontend, no loop closure."""
+    scans, gt = corridor_run
+    s = build_slam(detector=None, initial_pose=gt[0])
+
+    processed_gt = []
+    for scan, true_pose in zip(scans, gt):
+        if s.process_scan(scan, scan.odom_pose):
+            processed_gt.append(true_pose)
+    processed_gt = np.asarray(processed_gt)
+
+    n = s.graph.num_nodes
+    assert n == len(processed_gt)
+    est = s.graph.node_poses()
+
+    # SLAM should beat raw odometry and keep ATE within a couple of cells.
+    rmse = ate_rmse(est, processed_gt)
+    assert rmse < 0.35, f"ATE too high: {rmse}"
+
+    # The map contains occupied cells where walls are.
+    vals = np.asarray(gridops.values(s.builder.latest_map))
+    assert (vals > 0.6).sum() > 100
+
+
+def test_map_builder_creates_local_maps(corridor_run):
+    scans, gt = corridor_run
+    s = build_slam(detector=None, travel_thresh=3.0)
+    for scan in scans:
+        s.process_scan(scan, scan.odom_pose)
+    assert len(s.builder.local_maps) >= 2
+    for lm_prev, lm_next in zip(s.builder.local_maps,
+                                s.builder.local_maps[1:]):
+        assert lm_prev.finished
+        assert lm_prev.node_idx_max >= lm_prev.node_idx_min
+        assert lm_next.node_idx_min == lm_prev.node_idx_max + 1
+    assert not s.builder.local_maps[-1].finished
+    assert s.builder.accum_travel_dist > 6.0
+
+
+def test_loop_search_returns_candidate(corridor_run):
+    """After enough travel, the searcher should find a nearby old node when
+    the robot returns to its start."""
+    wps = synth.rotate_points(
+        np.array([[-8.5, -5.0], [-4.0, -5.0], [-8.5, -5.0]]),
+        synth.WORLD_ROTATION)
+    cfg = synth.SimConfig(step=0.25, max_range=12.0, seed=2)
+    scans, gt = synth.simulate(waypoints=wps, config=cfg)
+    s = build_slam(detector=lc.LoopDetectorEmpty(), travel_thresh=3.0)
+    for scan in scans:
+        s.process_scan(scan, scan.odom_pose)
+    searcher = lc.LoopSearcherNearest(
+        travel_dist_threshold=4.0, node_dist_max=3.0, num_candidate_nodes=2)
+    cands = searcher.search(s.graph, s.builder)
+    assert len(cands) == 1
+    c = cands[0]
+    assert c.local_map_idx == s.builder.local_maps[0].idx
+    # Candidate window includes the latest node.
+    assert s.graph.num_nodes - 1 in c.node_indices
+    # The anchor node is spatially near the current pose.
+    anchor = s.graph.poses[c.local_map_node_idx]
+    cur = s.graph.latest_pose()
+    assert np.hypot(*(anchor[:2] - cur[:2])) < 3.0
