@@ -74,10 +74,18 @@ def default_world() -> np.ndarray:
 
 
 def loop_waypoints() -> np.ndarray:
-    """A rectangular loop through the corridor of :func:`default_world`."""
+    """A chamfered rectangular loop through :func:`default_world`'s corridor.
+
+    Corners are cut diagonally: real robots round corners, and sharp
+    90-degree turns with a forward-only FOV leave consecutive keyframe scans
+    with almost no overlap — a failure mode for any correlative matcher,
+    the reference included.
+    """
     wps = np.array([
-        [-8.5, -5.0], [8.5, -5.0], [8.5, 5.0], [-8.5, 5.0], [-8.5, -5.0],
-        [8.5, -5.0],
+        [-8.5, -5.0], [7.3, -5.0], [8.5, -3.8],
+        [8.5, 3.8], [7.3, 5.0],
+        [-7.3, 5.0], [-8.5, 3.8],
+        [-8.5, -3.6], [-7.3, -4.8], [0.0, -4.8],
     ])
     return rotate_points(wps, WORLD_ROTATION)
 
@@ -103,8 +111,9 @@ def trajectory_from_waypoints(waypoints: np.ndarray,
     headings = np.arctan2(diffs[:, 1], diffs[:, 0])
     headings = np.concatenate([headings, headings[-1:]])
     unwrapped = np.unwrap(headings)
-    kernel = np.ones(9) / 9.0
-    pad = np.pad(unwrapped, (4, 4), mode="edge")
+    win = 15
+    kernel = np.ones(win) / win
+    pad = np.pad(unwrapped, (win // 2, win // 2), mode="edge")
     smooth = np.convolve(pad, kernel, mode="valid")
     return np.concatenate([pts_arr, smooth[:, None]], axis=1)
 

@@ -1,0 +1,121 @@
+"""SLAM launcher CLI.
+
+Mirror of the reference's ``slam_launch`` executable (slam_launcher.cpp:
+927-1026): ``python -m my_lidar_graph_slam_tpu.launcher <log> <settings.json>
+[output]`` loads a CARMEN log, builds the SLAM object graph from the JSON
+settings (the reference's settings files work verbatim), runs every scan
+through the pipeline, and saves the global map, the latest map, the pose
+graph JSON, and (extensions over the reference) a pose-graph PNG, a metrics
+JSON, and a state checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from my_lidar_graph_slam_tpu.io import carmen, map_io, viz
+from my_lidar_graph_slam_tpu.sensor.data import RawScan
+from my_lidar_graph_slam_tpu.utils import config as config_mod
+from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+
+
+def run(log_path: str, settings_path: str, output: str,
+        threaded_backend: bool = True,
+        max_scans: int = 0,
+        gui_interval: int = 0) -> dict:
+    """Run the full pipeline; returns summary stats."""
+    metrics = MetricManager.instance()
+    cfg = config_mod.load(settings_path)
+    slam_obj = config_mod.create_slam(cfg, threaded_backend=threaded_backend)
+
+    records = carmen.load(log_path)
+    scan_records = [r for r in records if isinstance(r, RawScan)]
+    if max_scans:
+        scan_records = scan_records[:max_scans]
+    if not scan_records:
+        print(f"no scan records in {log_path}", file=sys.stderr)
+        return {}
+
+    slam_obj.start_backend()
+    t0 = time.time()
+    for scan in scan_records:
+        t1 = time.time()
+        updated = slam_obj.process_scan(scan, scan.odom_pose)
+        if updated:
+            metrics.distributions("FrontendScanTime").observe(
+                time.time() - t1)
+            if gui_interval and \
+                    slam_obj.process_count % gui_interval == 0:
+                viz.draw_pose_graph(slam_obj.graph, output + ".live.png")
+        metrics.counters("ProcessedScans").increment()
+    elapsed = time.time() - t0
+    slam_obj.stop_backend()
+
+    # Save artifacts (slam_launcher.cpp:995-1020).
+    graph = slam_obj.graph
+    builder = slam_obj.builder
+    poses = graph.node_poses()
+
+    global_map = builder.construct_global_map(graph)
+    map_io.save_map(global_map, output, node_poses=poses,
+                    node_idx_min=0, node_idx_max=graph.num_nodes - 1)
+    if builder.latest_map is not None:
+        map_io.save_map(builder.latest_map, output + "-latest",
+                        node_poses=poses,
+                        node_idx_min=builder.latest_scan_idx_min,
+                        node_idx_max=builder.latest_scan_idx_max)
+    map_io.save_pose_graph(graph, slam_obj.scans, output)
+    viz.draw_pose_graph(graph, output + "-posegraph.png")
+    map_io.save_checkpoint(output + ".ckpt.npz", graph, slam_obj.scans)
+
+    metrics.gauges("TotalElapsedSeconds").set(elapsed)
+    metrics.gauges("NumPoseGraphNodes").set(graph.num_nodes)
+    metrics.gauges("NumPoseGraphEdges").set(graph.num_edges)
+    metrics.gauges("NumLoopClosures").set(
+        slam_obj.backend.num_loop_closures if slam_obj.backend else 0)
+    metrics.save_json(output + ".metrics.json")
+
+    stats = {
+        "num_scans": len(scan_records),
+        "num_nodes": graph.num_nodes,
+        "num_edges": graph.num_edges,
+        "num_loop_closures":
+            slam_obj.backend.num_loop_closures if slam_obj.backend else 0,
+        "elapsed_s": elapsed,
+        "scans_per_s": len(scan_records) / elapsed if elapsed > 0 else 0.0,
+    }
+    print(f"processed {stats['num_scans']} scans "
+          f"({stats['num_nodes']} nodes, {stats['num_edges']} edges, "
+          f"{stats['num_loop_closures']} loop closures) "
+          f"in {elapsed:.1f}s = {stats['scans_per_s']:.1f} scans/s",
+          file=sys.stderr)
+    return stats
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="TPU-native LiDAR graph SLAM launcher")
+    parser.add_argument("log", help="CARMEN log file")
+    parser.add_argument("settings", help="JSON settings file")
+    parser.add_argument("output", nargs="?", default=None,
+                        help="output name (default: log stem)")
+    parser.add_argument("--max-scans", type=int, default=0)
+    parser.add_argument("--no-backend-thread", action="store_true")
+    parser.add_argument("--gui-interval", type=int, default=0,
+                        help="rewrite a live pose-graph PNG every N frames")
+    args = parser.parse_args()
+
+    output = args.output or os.path.splitext(os.path.basename(args.log))[0]
+    run(args.log, args.settings, output,
+        threaded_backend=not args.no_backend_thread,
+        max_scans=args.max_scans,
+        gui_interval=args.gui_interval)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,39 @@ def test_loop_search_returns_candidate(corridor_run):
     anchor = s.graph.poses[c.local_map_node_idx]
     cur = s.graph.latest_pose()
     assert np.hypot(*(anchor[:2] - cur[:2])) < 3.0
+
+
+def test_loop_closure_improves_ate():
+    """Config 3 analog: two laps, BB loop detection + LM optimization.
+
+    Loop closure must fire and strictly improve the anchored ATE over the
+    odometry-only frontend.
+    """
+    from my_lidar_graph_slam_tpu.models.loop_closure import (
+        LoopDetectorBranchBound)
+
+    wp1 = synth.loop_waypoints()
+    wps = np.concatenate([wp1, wp1[1:]], axis=0)
+    cfg = synth.SimConfig(step=0.25, max_range=12.0, seed=4)
+    scans, gt = synth.simulate(waypoints=wps, config=cfg)
+
+    def run(with_lc):
+        det = LoopDetectorBranchBound(
+            score_threshold=0.6, node_height_max=4, range_x=2.0,
+            range_y=2.0, range_theta=0.5, scan_range_max=12.0,
+            usable_range_max=12.0, frontier_cap=4096) if with_lc else None
+        s = build_slam(detector=det, travel_thresh=8.0, initial_pose=gt[0])
+        s.frontend.config.update_threshold_angle = 0.3
+        pg = []
+        for scan, tp in zip(scans, gt):
+            if s.process_scan(scan, scan.odom_pose):
+                pg.append(tp)
+        return s, ate_rmse(s.graph.node_poses(), np.asarray(pg))
+
+    s_lc, ate_lc = run(True)
+    assert s_lc.backend.num_loop_closures >= 3
+    assert s_lc.graph.num_edges > s_lc.graph.num_nodes - 1  # loop edges exist
+    assert ate_lc < 0.3
+
+    _, ate_none = run(False)
+    assert ate_lc < ate_none
