@@ -229,3 +229,96 @@ def _parse_old_other_laser(tag: str, tok: List[str],
         min_range=min_range, max_range=max_range,
         min_angle=min_angle, max_angle=max_angle,
         angles=angles, ranges=ranges)
+
+
+# ---------------------------------------------------------------------------
+# Native fast path (C++ tokenizer, ctypes binding)
+# ---------------------------------------------------------------------------
+
+_NATIVE_LIB = None
+
+
+def _native_lib():
+    """Load native/carmen_tokenizer.so if built; None otherwise."""
+    global _NATIVE_LIB
+    if _NATIVE_LIB is not None:
+        return _NATIVE_LIB or None
+    import ctypes
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "carmen_tokenizer.so")
+    if not os.path.exists(path):
+        _NATIVE_LIB = False
+        return None
+    lib = ctypes.CDLL(path)
+    lib.carmen_scan_count.restype = ctypes.c_int
+    lib.carmen_scan_count.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.carmen_parse_old_laser.restype = ctypes.c_int
+    lib.carmen_parse_old_laser.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32)]
+    _NATIVE_LIB = lib
+    return lib
+
+
+def load_old_laser_fast(path: str, tag: str = "FLASER",
+                        max_beams: int = 4096):
+    """Parse all old-format laser records of one tag with the C++ tokenizer.
+
+    Returns a list of RawScan (geometry from PARAMs parsed in Python), or
+    None when the native library is unavailable. Semantics mirror
+    :func:`load`'s FLASER path (carmen_reader.cpp:319-394).
+    """
+    import ctypes
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    n = lib.carmen_scan_count(path.encode(), tag.encode())
+    if n <= 0:
+        return [] if n == 0 else None
+
+    ranges = np.zeros((n, max_beams), np.float32)
+    laser_poses = np.zeros((n, 3), np.float64)
+    robot_poses = np.zeros((n, 3), np.float64)
+    timestamps = np.zeros((n,), np.float64)
+    beam_counts = np.zeros((n,), np.int32)
+    got = lib.carmen_parse_old_laser(
+        path.encode(), tag.encode(), max_beams, n,
+        ranges.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        laser_poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        robot_poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        timestamps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        beam_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if got < 0:
+        return None
+
+    # Laser geometry from PARAMs (Python, shared with the oracle path).
+    params: Dict[str, str] = {}
+    with open(path, "r") as f:
+        for line in f:
+            if not line.startswith("PARAM"):
+                continue
+            tok = line.split()
+            if len(tok) >= 3:
+                params[tok[1]] = tok[2]
+
+    scans = []
+    for i in range(got):
+        num = int(beam_counts[i])
+        nkeep = min(num, max_beams)
+        min_range, max_range, incr, min_angle, max_angle = _laser_params(
+            params, num)
+        angles = min_angle + incr * np.arange(nkeep)
+        scans.append(RawScan(
+            sensor_id=tag, timestamp=float(timestamps[i]),
+            odom_pose=robot_poses[i].copy(), velocity=np.zeros(3),
+            rel_sensor_pose=_inverse_compound(robot_poses[i],
+                                              laser_poses[i]),
+            min_range=min_range, max_range=max_range,
+            min_angle=min_angle, max_angle=max_angle,
+            angles=angles, ranges=ranges[i, :nkeep].astype(np.float64)))
+    return scans
