@@ -73,6 +73,66 @@ def default_world() -> np.ndarray:
     return _rotate_segments(segs_arr, WORLD_ROTATION)
 
 
+def intel_world() -> np.ndarray:
+    """A larger intel.clf-like floor: 36 x 26 m shell, two corridor loops
+    around central office blocks, rooms and clutter along the walls —
+    enough travel for multi-loop trajectories and several local maps."""
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    box(-18.0, -13.0, 18.0, 13.0)        # outer shell
+    box(-13.0, -8.0, -2.0, 8.0)          # west office block
+    box(2.0, -8.0, 13.0, 8.0)            # east office block
+    # Doorway gaps in the blocks (interior rooms).
+    segs.append((-13.0, 0.0, -11.0, 0.0))
+    segs.append((-4.0, 0.0, -2.0, 0.0))
+    segs.append((2.0, 0.0, 4.0, 0.0))
+    segs.append((11.0, 0.0, 13.0, 0.0))
+    # Wall rooms along the south side.
+    segs.append((-18.0, -10.5, -15.0, -10.5))
+    segs.append((-12.0, -10.5, -8.0, -10.5))
+    segs.append((-8.0, -10.5, -8.0, -13.0))
+    segs.append((4.0, -10.5, 9.0, -10.5))
+    segs.append((9.0, -10.5, 9.0, -13.0))
+    # Clutter breaking longitudinal ambiguity in every corridor lane.
+    clutter = [
+        (-16.2, -11.4), (-9.5, -11.6), (-0.6, -11.2), (6.4, -11.5),
+        (14.8, -11.0), (16.0, -4.2), (15.6, 3.8), (14.6, 10.6),
+        (7.2, 10.9), (-0.4, 11.3), (-8.8, 10.8), (-15.8, 11.1),
+        (-16.2, 3.4), (-15.9, -4.6), (-0.8, -4.4), (0.6, 4.2),
+        (-0.5, -0.8), (0.4, -7.9),
+    ]
+    for cx, cy in clutter:
+        box(cx, cy, cx + 0.45, cy + 0.45)
+    return _rotate_segments(np.asarray(segs, dtype=np.float64),
+                            WORLD_ROTATION)
+
+
+def intel_waypoints(laps: int = 2) -> np.ndarray:
+    """Multi-loop route through :func:`intel_world`: a figure-eight around
+    both office blocks, repeated ``laps`` times, ending with a revisit of
+    the first corridor (closes several loops per lap)."""
+    west = np.array([
+        [-15.5, -10.5], [-1.0, -10.5], [0.0, -9.3],
+        [0.0, 9.3], [-1.2, 10.5], [-14.3, 10.5], [-15.5, 9.3],
+        [-15.5, -9.3], [-14.3, -10.5],
+    ])
+    east = np.array([
+        [-14.0, -10.5], [14.3, -10.5], [15.5, -9.3],
+        [15.5, 9.3], [14.3, 10.5], [1.2, 10.5], [0.0, 9.3],
+        [0.0, -9.3], [1.2, -10.5],
+    ])
+    lap = np.concatenate([west, east], axis=0)
+    wps = lap
+    for _ in range(laps - 1):
+        wps = np.concatenate([wps, lap], axis=0)
+    wps = np.concatenate([wps, west[:3]], axis=0)
+    return rotate_points(wps, WORLD_ROTATION)
+
+
 def loop_waypoints() -> np.ndarray:
     """A chamfered rectangular loop through :func:`default_world`'s corridor.
 

@@ -27,7 +27,8 @@ from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
 def run(log_path: str, settings_path: str, output: str,
         threaded_backend: bool = True,
         max_scans: int = 0,
-        gui_interval: int = 0) -> dict:
+        gui_interval: int = 0,
+        gt_path: str = "") -> dict:
     """Run the full pipeline; returns summary stats."""
     metrics = MetricManager.instance()
     cfg = config_mod.load(settings_path)
@@ -89,10 +90,21 @@ def run(log_path: str, settings_path: str, output: str,
         "elapsed_s": elapsed,
         "scans_per_s": len(scan_records) / elapsed if elapsed > 0 else 0.0,
     }
+    if gt_path:
+        from my_lidar_graph_slam_tpu.utils import ate
+        gt = np.load(gt_path)
+        node_times = slam_obj.scans.timestamps[
+            graph.scan_ids[:graph.num_nodes]]
+        stats["ate_rmse_m"] = ate.ate_rmse(
+            poses, gt["true_poses"], est_times=node_times,
+            gt_times=gt["timestamps"])
+        metrics.gauges("AteRmseMeters").set(stats["ate_rmse_m"])
     print(f"processed {stats['num_scans']} scans "
           f"({stats['num_nodes']} nodes, {stats['num_edges']} edges, "
           f"{stats['num_loop_closures']} loop closures) "
-          f"in {elapsed:.1f}s = {stats['scans_per_s']:.1f} scans/s",
+          f"in {elapsed:.1f}s = {stats['scans_per_s']:.1f} scans/s"
+          + (f", ATE RMSE {stats['ate_rmse_m']:.3f} m"
+             if "ate_rmse_m" in stats else ""),
           file=sys.stderr)
     return stats
 
@@ -108,13 +120,17 @@ def main():
     parser.add_argument("--no-backend-thread", action="store_true")
     parser.add_argument("--gui-interval", type=int, default=0,
                         help="rewrite a live pose-graph PNG every N frames")
+    parser.add_argument("--gt", default="",
+                        help="ground-truth npz (true_poses, timestamps) "
+                             "for ATE RMSE")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
     run(args.log, args.settings, output,
         threaded_backend=not args.no_backend_thread,
         max_scans=args.max_scans,
-        gui_interval=args.gui_interval)
+        gui_interval=args.gui_interval,
+        gt_path=args.gt)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -120,7 +121,15 @@ def _scan_args(st: mb.ScanStore, scan_id: int):
 
 @dataclasses.dataclass
 class LoopDetectorBranchBound:
-    """BB detection (loop_detector_branch_bound.cpp:26-118)."""
+    """BB detection (loop_detector_branch_bound.cpp:26-118).
+
+    With ``mesh`` set, each candidate's node window is matched as ONE
+    sharded program (``distributed.branch_bound_fanout``): candidate nodes
+    are padded to the mesh size with all-invalid scans and fanned out one
+    (or more) per device — replacing the reference's sequential per-node
+    loop (loop_detector_branch_bound.cpp:62-89). Results are identical to
+    the sequential path.
+    """
 
     score_threshold: float = 0.6
     node_height_max: int = 6
@@ -132,15 +141,32 @@ class LoopDetectorBranchBound:
     usable_range_max: float = 20.0
     frontier_cap: int = 4096
     greedy_params: tuple = ()
+    mesh: object = None  # Optional[jax.sharding.Mesh]
 
-    def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
-               candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
-        results: List[LoopDetectionResult] = []
-        cfg = builder.config
+    def _window_params(self, cfg):
         win_x = int(np.ceil(0.5 * self.range_x / cfg.resolution))
         win_y = int(np.ceil(0.5 * self.range_y / cfg.resolution))
         win_t = matchers.static_max_theta_window(
             cfg.resolution, self.scan_range_max, self.range_theta)
+        return win_x, win_y, win_t
+
+    def _emit(self, results, graph, cand, node_idx, anchor_pose, summary_np):
+        matched = np.asarray(summary_np.estimated_pose, np.float64)
+        rel = se2.inverse_compound_np(anchor_pose, matched)
+        results.append(LoopDetectionResult(
+            relative_pose=rel,
+            start_node_pose=anchor_pose.copy(),
+            start_node_idx=cand.local_map_node_idx,
+            end_node_idx=node_idx,
+            covariance=np.asarray(summary_np.covariance, np.float64)))
+
+    def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+               candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
+        if self.mesh is not None:
+            return self._detect_fanout(graph, builder, candidates)
+        results: List[LoopDetectionResult] = []
+        cfg = builder.config
+        win_x, win_y, win_t = self._window_params(cfg)
 
         for cand in candidates:
             lm = builder.local_maps[cand.local_map_idx]
@@ -170,14 +196,60 @@ class LoopDetectorBranchBound:
                     **_scan_args(builder.scans, scan_id))
                 if not bool(summary.pose_found):
                     continue  # silent skip (loop_detector_branch_bound.cpp:74)
-                matched = np.asarray(summary.estimated_pose, np.float64)
-                rel = se2.inverse_compound_np(anchor_pose, matched)
-                results.append(LoopDetectionResult(
-                    relative_pose=rel,
-                    start_node_pose=anchor_pose.copy(),
-                    start_node_idx=cand.local_map_node_idx,
-                    end_node_idx=node_idx,
-                    covariance=np.asarray(summary.covariance, np.float64)))
+                self._emit(results, graph, cand, node_idx, anchor_pose,
+                           summary)
+        return results
+
+    def _detect_fanout(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+                       candidates: List[LoopCandidate]
+                       ) -> List[LoopDetectionResult]:
+        from my_lidar_graph_slam_tpu.parallel import distributed
+
+        results: List[LoopDetectionResult] = []
+        cfg = builder.config
+        win_x, win_y, win_t = self._window_params(cfg)
+        st = builder.scans
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
+
+        for cand in candidates:
+            lm = builder.local_maps[cand.local_map_idx]
+            assert lm.finished
+            pyr = builder.pyramid_for(lm, self.node_height_max)
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+
+            nodes = list(cand.node_indices)
+            k = -(-len(nodes) // n_dev) * n_dev
+            ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
+            pad = k - len(nodes)
+            idsp = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+            poses = np.zeros((k, 3), np.float32)
+            poses[:len(nodes)] = graph.poses[nodes]
+            valid = st.valid[idsp].copy()
+            valid[len(nodes):] = False  # padded rows score 0 -> not found
+
+            out = distributed.branch_bound_fanout(
+                pyr, lm.grid, jnp.asarray(poses),
+                jnp.asarray(st.ranges[idsp]), jnp.asarray(st.angles[idsp]),
+                jnp.asarray(valid),
+                jnp.asarray(st.min_range[idsp]),
+                jnp.asarray(st.max_range[idsp]),
+                jnp.asarray(st.rel_sensor_pose[idsp]),
+                jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
+                scan_range_max=self.scan_range_max,
+                range_theta=self.range_theta,
+                usable_range_min=self.usable_range_min,
+                usable_range_max=self.usable_range_max,
+                normalized_score_threshold=self.score_threshold,
+                mesh=self.mesh, axis="shard",
+                node_height_max=self.node_height_max,
+                win_x=win_x, win_y=win_y, win_theta_max=win_t,
+                frontier_cap=self.frontier_cap)
+            found = np.asarray(out.pose_found)
+            for row, node_idx in enumerate(nodes):
+                if not bool(found[row]):
+                    continue
+                one = jax.tree_util.tree_map(lambda x, r=row: x[r], out)
+                self._emit(results, graph, cand, node_idx, anchor_pose, one)
         return results
 
 

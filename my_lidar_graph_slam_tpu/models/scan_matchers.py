@@ -14,11 +14,18 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from my_lidar_graph_slam_tpu.ops import grid as gridops
 from my_lidar_graph_slam_tpu.ops import matchers, pyramid as pyrops
+
+
+def _set_row(full, i, one):
+    out = full.copy()
+    out[i] = one
+    return out
 
 # Effective defaults given launcher_settings_default.json:2-9 and the
 # constructor-argument swap at slam_launcher.cpp:70-72.
@@ -45,7 +52,14 @@ def _scan_args(store, scan_id: int):
 @dataclasses.dataclass
 class CorrelativeMatcher:
     """ScanMatcherRealTimeCorrelative config
-    (launcher_settings_default.json:42-50)."""
+    (launcher_settings_default.json:42-50).
+
+    Both entry points dispatch the single-program batched kernel
+    (:func:`matchers.correlative_match_batch`): ``match`` runs one query as
+    a Q=1 batch; ``match_batch`` scores many scans against one map in ONE
+    device dispatch (the deployment shape of pipelined replay and of the
+    loop-closure candidate fan-out).
+    """
 
     low_resolution: int = 5      # kept for config parity; the TPU kernel
     range_x: float = 0.2         # evaluates the full window directly
@@ -54,29 +68,101 @@ class CorrelativeMatcher:
     scan_range_max: float = 20.0
     usable_range_min: float = 0.01
     usable_range_max: float = 20.0
+    theta_chunk: int = 16
     cost_type: str = "greedy_endpoint"
     greedy_params: tuple = DEFAULT_GREEDY_PARAMS
+    last_exact_fraction: float = 1.0  # certificate hit rate of last batch
 
     def match(self, grid: gridops.GridMap, store, scan_id: int,
               initial_pose) -> matchers.MatchSummary:
+        batched = self.match_batch(grid, store, [scan_id],
+                                   np.asarray(initial_pose)[None, :])
+        return matchers.MatchSummary(
+            *(leaf[0] for leaf in batched))
+
+    def match_batch(self, grid: gridops.GridMap, store, scan_ids,
+                    initial_poses) -> matchers.MatchSummary:
+        """Match Q scans against ``grid`` in one dispatch; returns a
+        batched :class:`matchers.MatchSummary` (leading axis Q).
+
+        Runs the pruned bound-and-refine kernel; queries whose exactness
+        certificate fails (the unexplored upper bounds were not strictly
+        below the found maximum) are re-run through the brute-force batch
+        kernel, so the combined result always equals brute force.
+        ``self.last_exact_fraction`` records the certificate hit rate.
+        """
         res = float(grid.resolution)
         win_x = int(np.ceil(0.5 * self.range_x / res))
         win_y = int(np.ceil(0.5 * self.range_y / res))
         win_t = matchers.static_max_theta_window(
             res, self.scan_range_max, self.range_theta)
-        return matchers.correlative_match(
-            gridops.values(grid), grid,
-            jnp.asarray(initial_pose, jnp.float32),
+        ids = np.asarray(scan_ids)
+        vals = gridops.values(grid)
+
+        # Beam-width bucket: scans are front-packed in the store, so the
+        # kernels only need the first ceil(max_beams / 64) * 64 columns —
+        # every map read costs one scalar gather, so width is throughput.
+        nb = int(-(-max(int(store.raw_beams[ids].max()), 1) // 64) * 64)
+        nb = min(nb, store.beam_capacity)
+
+        args = dict(
+            ranges=jnp.asarray(store.ranges[ids][:, :nb]),
+            angles=jnp.asarray(store.angles[ids][:, :nb]),
+            valid=jnp.asarray(store.valid[ids][:, :nb]),
+            scan_min_range=jnp.asarray(store.min_range[ids]),
+            scan_max_range=jnp.asarray(store.max_range[ids]),
+            rel_sensor_poses=jnp.asarray(store.rel_sensor_pose[ids]),
             scan_range_max=jnp.asarray(self.scan_range_max, jnp.float32),
             range_theta=jnp.asarray(self.range_theta, jnp.float32),
-            usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
-            usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
+            usable_range_min=jnp.asarray(self.usable_range_min,
+                                         jnp.float32),
+            usable_range_max=jnp.asarray(self.usable_range_max,
+                                         jnp.float32),
             normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            num_total_beams=jnp.asarray(store.raw_beams[ids], jnp.float32),
+        )
+        poses = jnp.asarray(initial_poses, jnp.float32)
+
+        bound_stack = matchers.make_bound_stack(vals, win_x, win_y)
+        summary, exact = matchers.correlative_match_pruned_batch(
+            vals, bound_stack, grid, poses, **args,
             win_x=win_x, win_y=win_y, win_theta_max=win_t,
-            cost_type=self.cost_type,
-            num_total_beams=int(store.raw_beams[scan_id]),
-            greedy_params=self.greedy_params,
-            **_scan_args(store, scan_id))
+            cost_type=self.cost_type, greedy_params=self.greedy_params)
+
+        exact_np = np.asarray(exact)
+        self.last_exact_fraction = float(exact_np.mean())
+        if exact_np.all():
+            return summary
+
+        # Brute-force re-run of the inexact rows, padded to a power-of-two
+        # bucket so recompiles stay bounded.
+        bad = np.flatnonzero(~exact_np)
+        bucket = 1
+        while bucket < len(bad):
+            bucket *= 2
+        sel = np.resize(bad, bucket)
+        brute = matchers.correlative_match_batch(
+            vals, grid, poses[sel],
+            args["ranges"][sel], args["angles"][sel], args["valid"][sel],
+            args["scan_min_range"][sel], args["scan_max_range"][sel],
+            args["rel_sensor_poses"][sel],
+            args["scan_range_max"], args["range_theta"],
+            args["usable_range_min"], args["usable_range_max"],
+            args["normalized_score_threshold"],
+            args["num_total_beams"][sel],
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            theta_chunk=self.theta_chunk,
+            cost_type=self.cost_type, greedy_params=self.greedy_params)
+
+        merged = jax.tree_util.tree_map(np.asarray, summary)
+        brute_np = jax.tree_util.tree_map(np.asarray, brute)
+        pos = {int(s): k for k, s in enumerate(sel)}
+        for i in bad:
+            k = pos[int(i)]
+            merged = jax.tree_util.tree_map(
+                lambda full, one, i=i, k=k: _set_row(full, i, one[k]),
+                merged, brute_np)
+        return matchers.MatchSummary(*merged)
 
 
 @dataclasses.dataclass

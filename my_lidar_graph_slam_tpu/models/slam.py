@@ -128,14 +128,31 @@ class Frontend:
 
 class Backend:
     """Loop closure + optimization worker
-    (lidar_graph_slam_backend.cpp:21-60)."""
+    (lidar_graph_slam_backend.cpp:21-60).
+
+    With ``mesh`` set, the pose-graph solve runs edge-sharded across the
+    mesh (``distributed.optimize_sharded``: per-edge terms local, one psum
+    per reduction) instead of single-device, and the detector — if it
+    supports a mesh (``LoopDetectorBranchBound``) — fans candidate nodes
+    out across devices. Results are identical to the single-device path.
+    """
 
     def __init__(self, searcher: lc.LoopSearcherNearest, detector,
-                 lm_config: optimizer_lm.LMConfig):
+                 lm_config: optimizer_lm.LMConfig, mesh=None):
         self.searcher = searcher
         self.detector = detector
         self.lm_config = lm_config
+        self.mesh = mesh
         self.num_loop_closures = 0
+        if mesh is not None and hasattr(detector, "mesh"):
+            detector.mesh = mesh
+
+    def _optimize(self, snapshot):
+        if self.mesh is None:
+            return optimizer_lm.optimize(snapshot, self.lm_config)
+        from my_lidar_graph_slam_tpu.parallel import distributed
+        return distributed.optimize_sharded(snapshot, self.lm_config,
+                                            self.mesh)
 
     def run_once(self, slam: "LidarGraphSlam") -> int:
         """One backend pass; returns the number of accepted loop edges."""
@@ -147,13 +164,26 @@ class Backend:
             return 0
         slam.append_loop_closing_edges(results)
 
-        snapshot = slam.graph.snapshot()
+        n_dev = 1 if self.mesh is None else \
+            int(np.prod(list(self.mesh.shape.values())))
+        snapshot = slam.graph.snapshot(
+            edge_cap=_round_multiple(slam.graph.num_edges, n_dev))
         optimized_count = slam.graph.num_nodes
-        res = optimizer_lm.optimize(snapshot, self.lm_config)
+        res = self._optimize(snapshot)
         slam.after_loop_closure(np.asarray(res.poses, np.float64),
                                 optimized_count)
         self.num_loop_closures += 1
         return len(results)
+
+
+def _round_multiple(n: int, k: int, minimum: int = 64) -> int:
+    """Power-of-two-ish capacity that is also a multiple of ``k``."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    if cap % k:
+        cap += k - cap % k
+    return cap
 
 
 class LidarGraphSlam:

@@ -279,8 +279,9 @@ def smoothed_value(value_map, fx, fy):
     offs = jnp.arange(-1, 3)
     sample_x = jnp.clip(base_x[..., None] + offs, 0, w - 1)   # [..., 4]
     sample_y = jnp.clip(base_y[..., None] + offs, 0, h - 1)
-    # [..., 4(x), 4(y)]
-    vals = value_map[sample_y[..., None, :], sample_x[..., :, None]]
+    # [..., 4(x), 4(y)] via a flat take (the fast TPU gather path).
+    vals = jnp.take(value_map.reshape(-1),
+                    sample_y[..., None, :] * w + sample_x[..., :, None])
 
     out = jnp.einsum("...i,...ij,...j->...", wx, vals, wy,
                      precision="highest")

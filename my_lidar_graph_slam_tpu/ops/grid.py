@@ -125,10 +125,15 @@ def lookup(value_map: jnp.ndarray, ix, iy, default=UNKNOWN):
 
     Mirrors ``GridMap::Value(idx, defaultVal)`` semantics used throughout the
     scoring loops (score_function_pixel_accurate.cpp:49).
+
+    Implemented as a FLAT 1-D take: on TPU a flat scalar gather issues at
+    ~100 M indices/s, while 2-D advanced indexing can lower to the serial
+    sliced-gather path (~0.35 M slices/s measured on v5e).
     """
     h, w = value_map.shape[-2:]
+    assert value_map.ndim == 2, "lookup expects a single 2-D map"
     ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
     ixc = jnp.clip(ix, 0, w - 1)
     iyc = jnp.clip(iy, 0, h - 1)
-    vals = value_map[..., iyc, ixc]
+    vals = jnp.take(value_map.reshape(-1), iyc * w + ixc)
     return jnp.where(ok, vals, default)

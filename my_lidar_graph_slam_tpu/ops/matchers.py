@@ -195,6 +195,402 @@ def correlative_match(value_map,
 
 
 # ---------------------------------------------------------------------------
+# Batched correlative matcher (one dispatch for Q queries)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
+                     "cost_type", "greedy_params"))
+def correlative_match_batch(value_map,
+                            grid: gridops.GridMap,
+                            initial_poses,
+                            ranges, angles, valid,
+                            scan_min_range, scan_max_range,
+                            rel_sensor_poses,
+                            scan_range_max,
+                            range_theta,
+                            usable_range_min, usable_range_max,
+                            normalized_score_threshold,
+                            num_total_beams,
+                            win_x: int, win_y: int, win_theta_max: int,
+                            theta_chunk: int = 16,
+                            cost_type: str = "greedy_endpoint",
+                            greedy_params: tuple = ()) -> MatchSummary:
+    """Q correlative matches against one map in ONE device dispatch.
+
+    Identical math and argmax tie-breaking to :func:`correlative_match`
+    (scan_matcher_real_time_correlative.cpp:50-145) applied per query —
+    exact by construction, no pruning, no fallback. The win over per-query
+    dispatch is architectural: one program amortizes the per-dispatch host
+    overhead and keeps the device busy end to end, and the (theta, beam)
+    window reads go through one big batched patch gather per theta chunk
+    (the TPU gather unit is throughput-bound on the *number of dispatched
+    gather ops*, not on index count).
+
+    ``initial_poses``/``rel_sensor_poses``: f32[Q, 3]; ``ranges``/``angles``:
+    f32[Q, NB]; ``valid``: bool[Q, NB]; ``scan_min_range``/``scan_max_range``
+    /``num_total_beams``: f32[Q]. The theta sweep is evaluated in
+    ``theta_chunk``-sized chunks under ``lax.scan`` so peak memory stays
+    ~Q * theta_chunk * NB * window floats. Returns a batched
+    :class:`MatchSummary` (leading axis Q).
+    """
+    q, nb = ranges.shape
+    n_total = jnp.asarray(num_total_beams, jnp.float32)
+
+    sensor_poses = jax.vmap(se2.compound)(initial_poses, rel_sensor_poses)
+    sx_ = sensor_poses[:, 0]
+    sy_ = sensor_poses[:, 1]
+    st_ = sensor_poses[:, 2]
+
+    max_range = jnp.minimum(
+        jnp.max(jnp.where(valid, ranges, -jnp.inf), axis=-1),
+        scan_range_max)                                          # [Q]
+    step_xy = grid.resolution
+    step_t = search_step_theta(grid.resolution, max_range)       # [Q]
+    win_theta_act = jnp.ceil(0.5 * range_theta / step_t).astype(jnp.int32)
+
+    proj_mask = valid & (ranges < scan_range_max)
+    wgt = proj_mask.astype(value_map.dtype)                      # [Q, NB]
+
+    h, w = value_map.shape
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    ncand = wxn * wyn
+
+    nt = 2 * win_theta_max + 1
+    nchunks = -(-nt // theta_chunk)
+    ntp = nchunks * theta_chunk
+    t_all = (jnp.arange(ntp) - win_theta_max).reshape(
+        nchunks, theta_chunk)                                    # [NC, TC]
+
+    def chunk_scores(t_idx):
+        """Scores [Q, TC, WX, WY] for one chunk of theta lattice indices.
+
+        Window reads go through scoring.window_scores' flat-take scheme
+        (one scalar take per window cell — the fast TPU gather path).
+        """
+        theta = st_[:, None] + \
+            t_idx[None, :].astype(jnp.float32) * step_t[:, None]
+        wa = theta[..., None] + angles[:, None, :]               # [Q,TC,NB]
+        hx = sx_[:, None, None] + ranges[:, None, :] * jnp.cos(wa)
+        hy = sy_[:, None, None] + ranges[:, None, :] * jnp.sin(wa)
+        ix = jnp.floor(
+            (hx - grid.origin[0]) / grid.resolution).astype(jnp.int32)
+        iy = jnp.floor(
+            (hy - grid.origin[1]) / grid.resolution).astype(jnp.int32)
+        scores = scoring.window_scores(
+            value_map, ix, iy,
+            jnp.broadcast_to(wgt[:, None, :], ix.shape).astype(
+                value_map.dtype),
+            win_x, win_y)                                        # [Q,TC,WX,WY]
+        live = (jnp.abs(t_idx)[None, :] <= win_theta_act[:, None]) & \
+               (t_idx <= win_theta_max)[None, :]
+        return jnp.where(live[:, :, None, None], scores, -jnp.inf)
+
+    def body(carry, t_idx):
+        best_s, best_r, base = carry
+        sc = chunk_scores(t_idx).reshape(q, -1)
+        loc = jnp.argmax(sc, axis=-1).astype(jnp.int32)
+        val = jnp.take_along_axis(sc, loc[:, None], -1)[:, 0]
+        # Strict > keeps the EARLIEST maximum in (theta, dx, dy) order,
+        # matching jnp.argmax over the full array (and the reference's
+        # update-on-strictly-greater loop).
+        better = val > best_s
+        return (jnp.where(better, val, best_s),
+                jnp.where(better, base + loc, best_r),
+                base + sc.shape[1]), None
+
+    init = (jnp.full((q,), -jnp.inf, jnp.float32),
+            jnp.zeros((q,), jnp.int32),
+            jnp.asarray(0, jnp.int32))
+    (best_score, best_rank, _), _ = jax.lax.scan(body, init, t_all)
+
+    bt = best_rank // ncand - win_theta_max
+    bx = (best_rank // wyn) % wxn - win_x
+    by = best_rank % wyn - win_y
+
+    score_threshold = normalized_score_threshold * n_total
+    pose_found = best_score > score_threshold
+    best_sensor_poses = jnp.stack([
+        sx_ + bx.astype(jnp.float32) * step_xy,
+        sy_ + by.astype(jnp.float32) * step_xy,
+        st_ + bt.astype(jnp.float32) * step_t,
+    ], axis=-1)                                                  # [Q, 3]
+
+    cost_mask = _range_gate(
+        valid, ranges, usable_range_min, usable_range_max,
+        scan_min_range[:, None], scan_max_range[:, None])
+
+    c, cov = jax.vmap(
+        lambda p_, r_, a_, m_: _cost_and_covariance(
+            cost_type, value_map, grid, p_, r_, a_, m_, greedy_params))(
+        best_sensor_poses, ranges, angles,
+        cost_mask.astype(value_map.dtype))
+
+    estimated_poses = jax.vmap(se2.move_backward)(best_sensor_poses,
+                                                  rel_sensor_poses)
+    return MatchSummary(
+        pose_found=pose_found,
+        normalized_cost=c / n_total,
+        normalized_score=best_score / n_total,
+        initial_pose=initial_poses,
+        estimated_pose=estimated_poses,
+        covariance=cov,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pruned correlative matcher (Olson bound-and-refine, flat-take kernels)
+# ---------------------------------------------------------------------------
+
+
+def _take2d(flat, pad, wp, hp, iy, ix, level_offset=0):
+    """Flat take of padded-map cells by RAW map indices (clamped).
+
+    ``flat`` is a zero-padded map (or stack of maps) flattened; indices
+    that fall outside the padded frame clamp into the zero ring and read 0,
+    which matches the Unknown-sentinel semantics exactly.
+    """
+    y = jnp.clip(iy + pad, 0, hp - 1)
+    x = jnp.clip(ix + pad, 0, wp - 1)
+    return jnp.take(flat, level_offset + y * wp + x)
+
+
+@functools.partial(jax.jit, static_argnames=("win_x", "win_y", "halos"))
+def make_bound_stack(value_map, win_x: int, win_y: int,
+                     halos: tuple = (0, 1, 2, 3, 4, 5)):
+    """Stack of centered windowed-max bound maps, one per theta halo.
+
+    ``stack[l][c] = max over |d| <= (win + halos[l]) of value_map[c + d]``
+    (separable two-pass max). Level 0 (halo 0) bounds a single theta's
+    full (dx, dy) window — the reference's low-resolution coarse map
+    (scan_matcher_real_time_correlative.cpp:88-116); higher levels
+    additionally absorb the endpoint drift of a whole theta GROUP (one
+    theta step moves a beam endpoint by at most one cell, chord equation
+    :156-175, so a group of half-width g*step at range r drifts at most
+    ceil(g*step*r/res) + 1 cells).
+    """
+    win = max(win_x, win_y)
+
+    def wmax(m, radius):
+        k = 2 * radius + 1
+        m = jax.lax.reduce_window(m, 0.0, jax.lax.max, (1, k), (1, 1),
+                                  "SAME")
+        return jax.lax.reduce_window(m, 0.0, jax.lax.max, (k, 1), (1, 1),
+                                     "SAME")
+
+    return jnp.stack([wmax(value_map, win + h) for h in halos])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "group",
+                     "top_groups", "top_thetas", "cost_type",
+                     "greedy_params"))
+def correlative_match_pruned_batch(value_map,
+                                   bound_stack,
+                                   grid: gridops.GridMap,
+                                   initial_poses,
+                                   ranges, angles, valid,
+                                   scan_min_range, scan_max_range,
+                                   rel_sensor_poses,
+                                   scan_range_max,
+                                   range_theta,
+                                   usable_range_min, usable_range_max,
+                                   normalized_score_threshold,
+                                   num_total_beams,
+                                   win_x: int, win_y: int,
+                                   win_theta_max: int,
+                                   group: int = 7,
+                                   top_groups: int = 8,
+                                   top_thetas: int = 16,
+                                   cost_type: str = "greedy_endpoint",
+                                   greedy_params: tuple = ()):
+    """Q pruned correlative matches in one dispatch, with exactness flag.
+
+    TPU redesign of the reference's coarse-to-fine prune
+    (scan_matcher_real_time_correlative.cpp:50-145), shaped by the
+    measured v5e reality that EVERY map access costs one ~10 ns scalar
+    gather regardless of clustering — so the design minimizes the TOTAL
+    NUMBER of map reads, not FLOPs:
+
+      stage 1  one read per (theta GROUP, beam) into a halo-dilated
+               windowed-max map (group drift absorbed by the halo level,
+               chosen per beam from its range) -> group upper bounds;
+      stage 2  one read per (theta, beam) into the halo-0 bound map for
+               the ``top_groups`` best groups -> per-theta upper bounds;
+      stage 3  exact (2*win+1)^2 window scores (one read per window cell
+               per beam) for the ``top_thetas`` best thetas; argmax with
+               the reference's (theta, dx, dy) first-max tie order.
+
+    The result for query q is PROVABLY equal to the brute-force argmax iff
+    ``exact[q]``: every unexpanded group's and unrefined theta's upper
+    bound is strictly below the best exact score (callers re-run inexact
+    queries through :func:`correlative_match_batch`).
+
+    Returns ``(MatchSummary with leading axis Q, exact bool[Q])``.
+    """
+    q, nb = ranges.shape
+    n_total = jnp.asarray(num_total_beams, jnp.float32)
+    halos = (0, 1, 2, 3, 4, 5)
+    n_levels = bound_stack.shape[0]
+
+    sensor_poses = jax.vmap(se2.compound)(initial_poses, rel_sensor_poses)
+    sx_ = sensor_poses[:, 0]
+    sy_ = sensor_poses[:, 1]
+    st_ = sensor_poses[:, 2]
+
+    max_range = jnp.minimum(
+        jnp.max(jnp.where(valid, ranges, -jnp.inf), axis=-1),
+        scan_range_max)                                          # [Q]
+    res = grid.resolution
+    step_t = search_step_theta(res, max_range)                   # [Q]
+    win_theta_act = jnp.ceil(0.5 * range_theta / step_t).astype(jnp.int32)
+
+    proj_mask = valid & (ranges < scan_range_max)
+    wgt = proj_mask.astype(value_map.dtype)                      # [Q, NB]
+
+    h, w = value_map.shape
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    ncand = wxn * wyn
+
+    # Padded flats (zero ring -> clamped OOB reads return Unknown 0).
+    pad = max(win_x, win_y) + max(halos) + 2
+    vp = jnp.pad(value_map, pad)
+    bp = jnp.pad(bound_stack, ((0, 0), (pad, pad), (pad, pad)))
+    hp = h + 2 * pad
+    wp = w + 2 * pad
+    v_flat = vp.reshape(-1)
+    b_flat = bp.reshape(-1)
+
+    # Angle-addition index math: phi[q, t, b] = (st + a_b) + t * step_t.
+    c0 = jnp.cos(st_[:, None] + angles)                          # [Q, NB]
+    s0 = jnp.sin(st_[:, None] + angles)
+    ox = grid.origin[0]
+    oy = grid.origin[1]
+
+    def hit_cells_at(t_idx):
+        """(ix, iy) int32[Q, T, NB] for per-query theta lattice indices
+        ``t_idx`` int32[Q, T]."""
+        dt = t_idx.astype(jnp.float32) * step_t[:, None]         # [Q, T]
+        ct = jnp.cos(dt)[:, :, None]
+        st2 = jnp.sin(dt)[:, :, None]
+        cos_phi = c0[:, None, :] * ct - s0[:, None, :] * st2
+        sin_phi = s0[:, None, :] * ct + c0[:, None, :] * st2
+        hx = sx_[:, None, None] + ranges[:, None, :] * cos_phi
+        hy = sy_[:, None, None] + ranges[:, None, :] * sin_phi
+        ix = jnp.floor((hx - ox) / res).astype(jnp.int32)
+        iy = jnp.floor((hy - oy) / res).astype(jnp.int32)
+        return ix, iy
+
+    neg_inf = jnp.float32(-jnp.inf)
+
+    # ---- Stage 1: theta-group bounds --------------------------------------
+    half = group // 2
+    ng = -(-(2 * win_theta_max + 1) // group)
+    g_start = jnp.arange(ng) * group - win_theta_max             # [NG]
+    g_center = jnp.broadcast_to(g_start + half, (q, ng))
+
+    # Per-beam halo level: endpoint drift over +-half theta steps.
+    drift = jnp.floor(half * ranges * step_t[:, None] / res) + 2.0
+    lvl = jnp.clip(drift, 1, n_levels - 1).astype(jnp.int32)     # [Q, NB]
+    lvl_off = lvl * (hp * wp)
+
+    ixc, iyc = hit_cells_at(g_center)                            # [Q,NG,NB]
+    bvals = _take2d(b_flat, pad, wp, hp, iyc, ixc,
+                    level_offset=lvl_off[:, None, :])
+    bound_g = (bvals * wgt[:, None, :]).sum(-1)                  # [Q, NG]
+    g_live = (g_start[None, :] <= win_theta_act[:, None]) & \
+             (g_start[None, :] + group - 1 >= -win_theta_act[:, None])
+    bound_g = jnp.where(g_live, bound_g, neg_inf)
+
+    # ---- Stage 2: per-theta bounds inside the best groups -----------------
+    top_g_val, top_g = jax.lax.top_k(bound_g, top_groups)        # [Q, TG]
+    t2 = (jnp.take(g_start, top_g)[:, :, None] +
+          jnp.arange(group)).reshape(q, top_groups * group)      # [Q, TT]
+    ix2, iy2 = hit_cells_at(t2)
+    b0 = _take2d(b_flat, pad, wp, hp, iy2, ix2)                  # level 0
+    bound_t = (b0 * wgt[:, None, :]).sum(-1)                     # [Q, TT]
+    t_live = (jnp.abs(t2) <= win_theta_act[:, None]) & \
+             (t2 <= win_theta_max) & (t2 >= -win_theta_max) & \
+             jnp.repeat(jnp.isfinite(top_g_val), group, axis=-1,
+                        total_repeat_length=top_groups * group)
+    bound_t = jnp.where(t_live, bound_t, neg_inf)
+
+    # ---- Stage 3: exact windows for the best thetas ------------------------
+    top_t_val, top_t_idx = jax.lax.top_k(bound_t, top_thetas)    # [Q, K]
+    t3 = jnp.take_along_axis(t2, top_t_idx, axis=-1)             # [Q, K]
+    t3_live = jnp.take_along_axis(t_live, top_t_idx, axis=-1)
+    ix3, iy3 = hit_cells_at(t3)                                  # [Q,K,NB]
+
+    dy = jnp.arange(-win_y, win_y + 1)
+    dx = jnp.arange(-win_x, win_x + 1)
+    gy = iy3[..., None, None] + dy[:, None]                      # [Q,K,NB,wy,1]
+    gx = ix3[..., None, None] + dx[None, :]                      # [Q,K,NB,1,wx]
+    cells = _take2d(v_flat, pad, wp, hp, gy, gx)                 # [Q,K,NB,wy,wx]
+    scores = jnp.einsum("qkbyx,qb->qkyx", cells, wgt)            # [Q,K,wy,wx]
+    scores = jnp.where(t3_live[:, :, None, None], scores, neg_inf)
+
+    # Argmax with the reference's first-max-in-(theta, dx, dy) tie order:
+    # candidate rank = t3 * ncand + dx_i * wyn + dy_i, smallest rank wins
+    # among equal scores (scan_matcher_real_time_correlative.cpp:98-118).
+    sc_flat = jnp.swapaxes(scores, -1, -2).reshape(q, -1)        # [Q,K*wx*wy]
+    rank_t = (t3 + win_theta_max)[:, :, None] * ncand + \
+        jnp.arange(ncand)[None, None, :]                         # [Q,K,ncand]
+    rank = rank_t.reshape(q, -1)
+    best_score = jnp.max(sc_flat, axis=-1)                       # [Q]
+    is_best = sc_flat == best_score[:, None]
+    best_rank = jnp.min(jnp.where(is_best, rank, jnp.int32(2 ** 30)),
+                        axis=-1)
+    bt = best_rank // ncand - win_theta_max
+    bxi = (best_rank % ncand) // wyn
+    byi = best_rank % wyn
+
+    # ---- Exactness certificate ---------------------------------------------
+    # Strict inequality: an unexplored candidate tied with the best could
+    # precede it in the reference's tie order.
+    ub_g_rest = bound_g.at[jnp.arange(q)[:, None], top_g].set(neg_inf)
+    ub_t_rest = bound_t.at[
+        jnp.arange(q)[:, None], top_t_idx].set(neg_inf)
+    exact = (jnp.max(ub_g_rest, axis=-1) < best_score) & \
+            (jnp.max(ub_t_rest, axis=-1) < best_score) & \
+            jnp.isfinite(best_score)
+
+    # ---- Summary ------------------------------------------------------------
+    score_threshold = normalized_score_threshold * n_total
+    pose_found = best_score > score_threshold
+    best_sensor_poses = jnp.stack([
+        sx_ + (bxi - win_x).astype(jnp.float32) * res,
+        sy_ + (byi - win_y).astype(jnp.float32) * res,
+        st_ + bt.astype(jnp.float32) * step_t,
+    ], axis=-1)                                                  # [Q, 3]
+
+    cost_mask = _range_gate(
+        valid, ranges, usable_range_min, usable_range_max,
+        scan_min_range[:, None], scan_max_range[:, None])
+    c, cov = jax.vmap(
+        lambda p_, r_, a_, m_: _cost_and_covariance(
+            cost_type, value_map, grid, p_, r_, a_, m_, greedy_params))(
+        best_sensor_poses, ranges, angles,
+        cost_mask.astype(value_map.dtype))
+
+    estimated_poses = jax.vmap(se2.move_backward)(best_sensor_poses,
+                                                  rel_sensor_poses)
+    summary = MatchSummary(
+        pose_found=pose_found,
+        normalized_cost=c / n_total,
+        normalized_score=best_score / n_total,
+        initial_pose=initial_poses,
+        estimated_pose=estimated_poses,
+        covariance=cov,
+    )
+    return summary, exact
+
+
+# ---------------------------------------------------------------------------
 # Exhaustive grid search matcher
 # ---------------------------------------------------------------------------
 

@@ -85,29 +85,30 @@ def window_scores(value_map, ix, iy, beam_weight, win_x: int, win_y: int):
     h, w = value_map.shape
     wx = 2 * win_x + 1
     wy = 2 * win_y + 1
-    # Pad by 2x the window radius: every beam whose base cell is within one
-    # window radius of the map (the only beams with any nonzero window cell)
-    # then has a fully in-bounds patch; beams farther outside have an
-    # all-zero window and are masked out, which is exact.
-    padded = jnp.pad(value_map, ((2 * win_y, 2 * win_y),
-                                 (2 * win_x, 2 * win_x)))
+    # One flat scalar take per window cell. TPU gathers are issue-rate
+    # bound (~100 M indices/s on v5e, measured — independent of index
+    # clustering or slice size), and a sliced/vmapped-dynamic-slice gather
+    # costs ~2.8 us PER SLICE (serial scalar-core path), so per-cell flat
+    # takes are ~300x faster than per-window patch slices here.
+    #
+    # Out-of-map cells must read 0 (the Unknown sentinel,
+    # score_function_pixel_accurate.cpp:51-53): pad the map by the window
+    # radius with zeros and clamp indices into the padded frame — beams
+    # whose window lies entirely outside land in the zero ring.
+    pad_y = win_y + 1
+    pad_x = win_x + 1
+    padded = jnp.pad(value_map, ((pad_y, pad_y), (pad_x, pad_x)))
+    hp = h + 2 * pad_y
+    wp = w + 2 * pad_x
+    flat = padded.reshape(-1)
 
-    batch_shape = ix.shape
-    ixf = ix.reshape(-1)
-    iyf = iy.reshape(-1)
-    wf = beam_weight.reshape(-1)
-
-    ok = (ixf >= -win_x) & (ixf <= w - 1 + win_x) & \
-         (iyf >= -win_y) & (iyf <= h - 1 + win_y)
-    # Patch start in the padded frame (offset dx = -win_x maps to ix + win_x).
-    sx = jnp.where(ok, ixf + win_x, 0)
-    sy = jnp.where(ok, iyf + win_y, 0)
-
-    def slice_one(y0, x0):
-        return jax.lax.dynamic_slice(padded, (y0, x0), (wy, wx))
-
-    patches = jax.vmap(slice_one)(sy, sx)            # [L, wy, wx]
-    patches = patches * (wf * ok)[:, None, None]
-    patches = patches.reshape(batch_shape + (wy, wx))
-    scores = patches.sum(axis=-3)                    # sum over beams
-    return jnp.swapaxes(scores, -1, -2)              # [..., wx, wy]
+    dy = jnp.arange(-win_y, win_y + 1)
+    dx = jnp.arange(-win_x, win_x + 1)
+    gy = jnp.clip(iy[..., None, None] + dy[:, None] + pad_y, 0, hp - 1)
+    gx = jnp.clip(ix[..., None, None] + dx[None, :] + pad_x, 0, wp - 1)
+    # Any out-of-map cell clamps into the zero ring (pad >= 1 on every
+    # side), so the clamped read itself returns the Unknown 0 — no mask
+    # needed, and the semantics exactly match the masked lookup.
+    vals = jnp.take(flat, gy * wp + gx)                    # [..., NB, wy, wx]
+    scores = (vals * beam_weight[..., None, None]).sum(axis=-3)
+    return jnp.swapaxes(scores, -1, -2)                    # [..., wx, wy]

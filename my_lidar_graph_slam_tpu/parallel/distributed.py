@@ -181,10 +181,11 @@ def optimize_sharded(graph: GraphArrays, config: optimizer_lm.LMConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "node_height_max", "win_x", "win_y",
-                     "win_theta_max", "frontier_cap", "num_total_beams"))
+                     "win_theta_max", "frontier_cap"))
 def branch_bound_fanout(pyramid, grid, initial_poses,
                         ranges, angles, valid,
                         scan_min_range, scan_max_range, rel_sensor_poses,
+                        num_total_beams,
                         scan_range_max, range_theta,
                         usable_range_min, usable_range_max,
                         normalized_score_threshold,
@@ -192,36 +193,46 @@ def branch_bound_fanout(pyramid, grid, initial_poses,
                         node_height_max: int = 6,
                         win_x: int = 20, win_y: int = 20,
                         win_theta_max: int = 100,
-                        frontier_cap: int = 4096,
-                        num_total_beams: int = 0):
+                        frontier_cap: int = 4096):
     """Match K candidate nodes against one local map, K sharded over chips.
 
-    ``initial_poses``: f32[K, 3]; per-node scan tensors are [K, NB] and
-    per-node scalars [K]; K must be a multiple of the mesh size (pad with
-    invalid scans). The pyramid and map metadata are replicated. Returns a
-    MatchSummary pytree with leading axis K.
+    ``initial_poses``: f32[K, 3]; per-node scan tensors are [K, NB],
+    per-node scalars (incl. ``num_total_beams``, the reference's
+    normalization divisor which varies per scan) are f32[K]; K must be a
+    multiple of the mesh size (pad with all-invalid scans — a padded row
+    scores 0 and cannot pass a positive threshold). The pyramid and map
+    metadata are replicated. Returns a MatchSummary pytree with leading
+    axis K.
     """
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(), P(), P(), P(), P()),
+                  P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+                  P()),
         out_specs=P(axis))
-    def fan(pyr, grd, poses, r, a, v, mn, mx, rel,
+    def fan(pyr, grd, poses, r, a, v, mn, mx, rel, ntot,
             srm, rt, urmin, urmax, thresh):
-        def match_one(p, r1, a1, v1, mn1, mx1, rel1):
-            return matchers.branch_bound_match(
+        def match_one(p, r1, a1, v1, mn1, mx1, rel1, nt1):
+            # num_total_beams is traced (per node), so run the matcher
+            # un-normalized (n_total = 1) with the threshold pre-scaled by
+            # nt1, then divide the normalized outputs back.
+            s = matchers.branch_bound_match(
                 pyr, grd, p, r1, a1, v1, mn1, mx1, rel1,
-                srm, rt, urmin, urmax, thresh,
+                srm, rt, urmin, urmax, thresh * nt1,
                 node_height_max=node_height_max,
                 win_x=win_x, win_y=win_y, win_theta_max=win_theta_max,
                 frontier_cap=frontier_cap,
-                num_total_beams=num_total_beams)
+                num_total_beams=1)
+            return s._replace(
+                normalized_cost=s.normalized_cost / nt1,
+                normalized_score=s.normalized_score / nt1)
 
-        return jax.vmap(match_one)(poses, r, a, v, mn, mx, rel)
+        return jax.vmap(match_one)(poses, r, a, v, mn, mx, rel, ntot)
 
     return fan(pyramid, grid, initial_poses, ranges, angles, valid,
                scan_min_range, scan_max_range, rel_sensor_poses,
+               jnp.asarray(num_total_beams, jnp.float32),
                jnp.asarray(scan_range_max, jnp.float32),
                jnp.asarray(range_theta, jnp.float32),
                jnp.asarray(usable_range_min, jnp.float32),

@@ -167,3 +167,26 @@ def test_native_carmen_parser_parity(tmp_path):
     for a, b in zip(py[:3], fast[:3]):
         np.testing.assert_allclose(a.ranges, b.ranges, atol=1e-4)
         np.testing.assert_allclose(a.odom_pose, b.odom_pose, atol=1e-9)
+
+
+def test_ate_alignment_and_association():
+    from my_lidar_graph_slam_tpu.utils import ate
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 10, 101)
+    gt = np.stack([np.cos(t), np.sin(t), t], axis=-1)
+    # Estimated trajectory = gt rotated + translated + small noise,
+    # sampled at a subset of times.
+    ang = 0.7
+    r = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    est_t = t[::3] + 0.01
+    gt_sub = np.stack([np.cos(est_t), np.sin(est_t), est_t], axis=-1)
+    est_xy = gt_sub[:, :2] @ r.T + np.array([5.0, -2.0]) + \
+        rng.normal(0, 0.01, (len(est_t), 2))
+    est = np.concatenate([est_xy, gt_sub[:, 2:]], axis=1)
+
+    rmse = ate.ate_rmse(est, gt, est_times=est_t, gt_times=t)
+    assert rmse < 0.05, rmse            # alignment removes the transform
+    rmse_anchored = ate.ate_rmse(est, gt, est_times=est_t, gt_times=t,
+                                 aligned=False)
+    assert rmse_anchored > 1.0          # sanity: unaligned error is large

@@ -161,3 +161,50 @@ def test_loop_closure_improves_ate():
 
     _, ate_none = run(False)
     assert ate_lc < ate_none
+
+
+def test_mesh_backend_matches_sequential():
+    """Config-3 run with the mesh-sharded backend (BB fan-out + edge-sharded
+    LM/PCG) must produce the same loop closures and matching poses as the
+    sequential single-device backend."""
+    from my_lidar_graph_slam_tpu.models.loop_closure import (
+        LoopDetectorBranchBound)
+    from my_lidar_graph_slam_tpu.parallel import mesh as mesh_mod
+
+    wp1 = synth.loop_waypoints()
+    wps = np.concatenate([wp1, wp1[1:]], axis=0)
+    cfg = synth.SimConfig(step=0.25, max_range=12.0, seed=4)
+    scans, gt = synth.simulate(waypoints=wps, config=cfg)
+
+    def run(mesh):
+        det = LoopDetectorBranchBound(
+            score_threshold=0.6, node_height_max=4, range_x=2.0,
+            range_y=2.0, range_theta=0.5, scan_range_max=12.0,
+            usable_range_max=12.0, frontier_cap=4096)
+        s = build_slam(detector=det, travel_thresh=8.0, initial_pose=gt[0])
+        if mesh is not None:
+            s.backend.mesh = mesh
+            det.mesh = mesh
+        s.frontend.config.update_threshold_angle = 0.3
+        for scan in scans:
+            s.process_scan(scan, scan.odom_pose)
+        return s
+
+    s_seq = run(None)
+    s_mesh = run(mesh_mod.make_mesh(8, axis="shard"))
+
+    assert s_mesh.backend.num_loop_closures >= 1
+    assert s_mesh.graph.num_edges == s_seq.graph.num_edges
+    # Same loop edges (i, j) and near-identical relative poses.
+    np.testing.assert_array_equal(
+        s_mesh.graph.edge_i[:s_mesh.graph.num_edges],
+        s_seq.graph.edge_i[:s_seq.graph.num_edges])
+    np.testing.assert_array_equal(
+        s_mesh.graph.edge_j[:s_mesh.graph.num_edges],
+        s_seq.graph.edge_j[:s_seq.graph.num_edges])
+    np.testing.assert_allclose(
+        s_mesh.graph.edge_rel[:s_mesh.graph.num_edges],
+        s_seq.graph.edge_rel[:s_seq.graph.num_edges], atol=1e-3)
+    # Final trajectories agree to optimizer tolerance.
+    np.testing.assert_allclose(s_mesh.graph.node_poses(),
+                               s_seq.graph.node_poses(), atol=0.05)

@@ -217,3 +217,174 @@ def test_window_scores_vs_naive(scene):
                 if 0 <= x < vals.shape[1] and 0 <= y < vals.shape[0]:
                     naive += vals[y, x]
             np.testing.assert_allclose(out[a, b], naive, rtol=1e-4)
+
+
+def test_correlative_batch_matches_single(scene):
+    """correlative_match_batch == correlative_match query-by-query (the
+    single-dispatch batched kernel must be exact brute force, including the
+    (theta, dx, dy) argmax tie-break order)."""
+    g, segs, beam_angles, vals = scene
+    init = np.array([0.0, 0.0, 0.3])
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.5)
+    rng = np.random.default_rng(7)
+    q = 5
+    true_poses = init + np.concatenate(
+        [rng.uniform(-0.12, 0.12, (q, 2)), rng.uniform(-0.08, 0.08, (q, 1))],
+        axis=1)
+    qs = [make_query(segs, beam_angles, tp) for tp in true_poses]
+
+    batch = dict(
+        initial_poses=jnp.asarray(np.tile(init, (q, 1)), jnp.float32),
+        ranges=jnp.stack([x[0] for x in qs]),
+        angles=jnp.stack([x[1] for x in qs]),
+        valid=jnp.stack([x[2] for x in qs]),
+        scan_min_range=jnp.zeros(q, jnp.float32),
+        scan_max_range=jnp.full(q, 20.0, jnp.float32),
+        rel_sensor_poses=jnp.zeros((q, 3), jnp.float32),
+    )
+    out = matchers.correlative_match_batch(
+        jnp.asarray(vals), g, batch["initial_poses"], batch["ranges"],
+        batch["angles"], batch["valid"], batch["scan_min_range"],
+        batch["scan_max_range"], batch["rel_sensor_poses"],
+        jnp.asarray(20.0, jnp.float32),
+        jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0.01, jnp.float32),
+        jnp.asarray(20.0, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.full(q, 181.0, jnp.float32),
+        win_x=4, win_y=4, win_theta_max=win_t, theta_chunk=16)
+
+    for i in range(q):
+        s = matchers.correlative_match(
+            jnp.asarray(vals), g, batch["initial_poses"][i],
+            batch["ranges"][i], batch["angles"][i], batch["valid"][i],
+            scan_range_max=jnp.asarray(20.0, jnp.float32),
+            range_theta=jnp.asarray(0.5, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
+            win_x=4, win_y=4, win_theta_max=win_t,
+            num_total_beams=181,
+            **COMMON)
+        np.testing.assert_allclose(
+            np.asarray(out.estimated_pose[i]), np.asarray(s.estimated_pose),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            float(out.normalized_score[i]), float(s.normalized_score),
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.covariance[i]), np.asarray(s.covariance),
+            rtol=1e-3, atol=1e-5)
+        assert bool(out.pose_found[i]) == bool(s.pose_found)
+
+
+def test_pruned_batch_matches_brute(scene):
+    """The pruned bound-and-refine kernel must equal brute force on every
+    query whose exactness certificate holds, and the CorrelativeMatcher
+    fallback must make the combined result equal brute force always."""
+    g, segs, beam_angles, vals = scene
+    init = np.array([0.0, 0.0, 0.3])
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.5)
+    rng = np.random.default_rng(11)
+    q = 6
+    true_poses = init + np.concatenate(
+        [rng.uniform(-0.1, 0.1, (q, 2)), rng.uniform(-0.06, 0.06, (q, 1))],
+        axis=1)
+    qs = [make_query(segs, beam_angles, tp) for tp in true_poses]
+
+    kw = dict(
+        scan_min_range=jnp.zeros(q, jnp.float32),
+        scan_max_range=jnp.full(q, 20.0, jnp.float32),
+        rel_sensor_poses=jnp.zeros((q, 3), jnp.float32),
+    )
+    poses = jnp.asarray(np.tile(init, (q, 1)), jnp.float32)
+    ranges = jnp.stack([x[0] for x in qs])
+    angles = jnp.stack([x[1] for x in qs])
+    valid = jnp.stack([x[2] for x in qs])
+    scalars = (jnp.asarray(20.0, jnp.float32), jnp.asarray(0.5, jnp.float32),
+               jnp.asarray(0.01, jnp.float32), jnp.asarray(20.0, jnp.float32),
+               jnp.asarray(0.0, jnp.float32),
+               jnp.full(q, 181.0, jnp.float32))
+
+    stack = matchers.make_bound_stack(jnp.asarray(vals), 4, 4)
+    # Bound-map sanity: level 0 >= map everywhere, levels increase.
+    assert np.all(np.asarray(stack[0]) >= vals - 1e-6)
+    for lv in range(1, stack.shape[0]):
+        assert np.all(np.asarray(stack[lv]) >= np.asarray(stack[lv - 1])
+                      - 1e-6)
+
+    summary, exact = matchers.correlative_match_pruned_batch(
+        jnp.asarray(vals), stack, g, poses, ranges, angles, valid,
+        kw["scan_min_range"], kw["scan_max_range"], kw["rel_sensor_poses"],
+        *scalars, win_x=4, win_y=4, win_theta_max=win_t,
+        top_groups=10, top_thetas=28)
+
+    brute = matchers.correlative_match_batch(
+        jnp.asarray(vals), g, poses, ranges, angles, valid,
+        kw["scan_min_range"], kw["scan_max_range"], kw["rel_sensor_poses"],
+        *scalars, win_x=4, win_y=4, win_theta_max=win_t)
+
+    exact_np = np.asarray(exact)
+    assert exact_np.any(), "certificate never fired on an easy scene"
+    for i in range(q):
+        if not exact_np[i]:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(summary.estimated_pose[i]),
+            np.asarray(brute.estimated_pose[i]), atol=1e-6)
+        np.testing.assert_allclose(
+            float(summary.normalized_score[i]),
+            float(brute.normalized_score[i]), rtol=1e-4)
+
+
+def test_correlative_matcher_wrapper_equals_brute(scene):
+    """CorrelativeMatcher.match_batch (pruned + fallback) == brute batch."""
+    from my_lidar_graph_slam_tpu.models import map_builder as mb
+    from my_lidar_graph_slam_tpu.models import scan_matchers as sm
+    from my_lidar_graph_slam_tpu.sensor.data import RawScan
+
+    g, segs, beam_angles, vals = scene
+    store = mb.ScanStore(beam_capacity=NB)
+    rng = np.random.default_rng(13)
+    init = np.array([0.0, 0.0, 0.3])
+    q = 5
+    ids = []
+    for i in range(q):
+        tp = init + np.concatenate(
+            [rng.uniform(-0.1, 0.1, 2), rng.uniform(-0.06, 0.06, 1)])
+        r = synth.raycast_segments(tp[:2], tp[2] + beam_angles,
+                                   synth.default_world(), 20.0)
+        ids.append(store.append(RawScan(
+            sensor_id="FLASER", timestamp=float(i),
+            odom_pose=np.zeros(3), velocity=np.zeros(3),
+            rel_sensor_pose=np.zeros(3, np.float32),
+            min_range=0.0, max_range=20.0,
+            min_angle=float(beam_angles[0]), max_angle=float(beam_angles[-1]),
+            angles=beam_angles.astype(np.float32),
+            ranges=r.astype(np.float32))))
+
+    m = sm.CorrelativeMatcher(range_x=0.4, range_y=0.4, range_theta=0.5,
+                              scan_range_max=20.0)
+    batched = m.match_batch(g, store, ids, np.tile(init, (q, 1)))
+    assert 0.0 <= m.last_exact_fraction <= 1.0
+
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.5)
+    brute = matchers.correlative_match_batch(
+        gridops.values(g), g, jnp.asarray(np.tile(init, (q, 1)),
+                                          jnp.float32),
+        jnp.asarray(store.ranges[np.asarray(ids)]),
+        jnp.asarray(store.angles[np.asarray(ids)]),
+        jnp.asarray(store.valid[np.asarray(ids)]),
+        jnp.asarray(store.min_range[np.asarray(ids)]),
+        jnp.asarray(store.max_range[np.asarray(ids)]),
+        jnp.asarray(store.rel_sensor_pose[np.asarray(ids)]),
+        jnp.asarray(20.0, jnp.float32), jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0.01, jnp.float32), jnp.asarray(20.0, jnp.float32),
+        jnp.asarray(-1e30, jnp.float32),
+        jnp.asarray(store.raw_beams[np.asarray(ids)], jnp.float32),
+        win_x=4, win_y=4, win_theta_max=win_t,
+        greedy_params=sm.DEFAULT_GREEDY_PARAMS)
+
+    np.testing.assert_allclose(np.asarray(batched.estimated_pose),
+                               np.asarray(brute.estimated_pose), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batched.normalized_score),
+                               np.asarray(brute.normalized_score),
+                               rtol=1e-4)

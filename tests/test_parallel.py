@@ -84,12 +84,13 @@ def test_sharded_branch_bound_fanout():
         jnp.asarray(ranges), jnp.asarray(angles), jnp.asarray(valid),
         jnp.zeros(k, jnp.float32), jnp.full((k,), 12.0, jnp.float32),
         jnp.zeros((k, 3), jnp.float32),
+        jnp.full((k,), 91.0, jnp.float32),
         scan_range_max=12.0, range_theta=0.25,
         usable_range_min=0.01, usable_range_max=12.0,
         normalized_score_threshold=0.2,
         mesh=m, axis="shard",
         node_height_max=3, win_x=8, win_y=8, win_theta_max=win_t,
-        frontier_cap=2048, num_total_beams=91)
+        frontier_cap=2048)
 
     found = np.asarray(out.pose_found)
     est = np.asarray(out.estimated_pose)

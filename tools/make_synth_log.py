@@ -25,16 +25,24 @@ def main():
     p.add_argument("--step", type=float, default=0.1)
     p.add_argument("--max-range", type=float, default=12.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--world", choices=("default", "intel"),
+                   default="default",
+                   help="'intel' = larger multi-loop intel.clf-like floor")
     args = p.parse_args()
 
-    wp1 = synth.loop_waypoints()
-    wps = wp1
-    for _ in range(args.laps - 1):
-        wps = np.concatenate([wps, wp1[1:]], axis=0)
+    if args.world == "intel":
+        world = synth.intel_world()
+        wps = synth.intel_waypoints(laps=args.laps)
+    else:
+        world = None
+        wp1 = synth.loop_waypoints()
+        wps = wp1
+        for _ in range(args.laps - 1):
+            wps = np.concatenate([wps, wp1[1:]], axis=0)
 
     cfg = synth.SimConfig(step=args.step, max_range=args.max_range,
                           seed=args.seed)
-    scans, gt = synth.simulate(waypoints=wps, config=cfg)
+    scans, gt = synth.simulate(world=world, waypoints=wps, config=cfg)
     synth.write_carmen_log(args.prefix + ".clf", scans,
                            max_range=cfg.max_range)
     np.savez(args.prefix + "_gt.npz", true_poses=gt,
