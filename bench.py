@@ -227,6 +227,92 @@ def bench_cpp(g, queries):
     return stats["matches_per_sec"], results
 
 
+def bench_posegraph():
+    """Pose-graph LM/PCG solve time per loop closure at N=1k / 8k nodes
+    (the backend's optimize call, pose_graph_optimizer_lm.cpp:13-65)."""
+    from my_lidar_graph_slam_tpu.models import optimizer_lm
+    from my_lidar_graph_slam_tpu.models.pose_graph import PoseGraph
+    from my_lidar_graph_slam_tpu.utils import se2
+
+    out = {}
+    for n in (1024, 8192):
+        def build(seed):
+            rng = np.random.default_rng(seed)
+            gt = np.stack([
+                10.0 * np.cos(2 * np.pi * np.arange(n) / n),
+                10.0 * np.sin(2 * np.pi * np.arange(n) / n),
+                2 * np.pi * np.arange(n) / n + np.pi / 2], axis=-1)
+            graph = PoseGraph()
+            info = np.diag([100.0, 100.0, 400.0])
+            pose = gt[0].copy()
+            graph.append_node(pose, 0)
+            for k in range(1, n):
+                rel = se2.inverse_compound_np(gt[k - 1], gt[k]) + \
+                    rng.normal(0, 0.01, 3)
+                pose = se2.compound_np(pose, rel)
+                graph.append_node(pose, k)
+                graph.append_edge(k - 1, k, rel, info)
+            for k in range(0, n, n // 8):  # 8 loop edges
+                j = (k + n // 2) % n
+                graph.append_edge(min(k, j), max(k, j),
+                                  se2.inverse_compound_np(gt[min(k, j)],
+                                                          gt[max(k, j)]),
+                                  np.diag([1e3, 1e3, 4e3]))
+            return graph.snapshot()
+
+        cfg = optimizer_lm.LMConfig(solver="cg", max_iterations=10,
+                                    cg_max_iterations=64)
+        res = optimizer_lm.optimize(build(0), cfg)
+        np.asarray(res.poses)  # compile + sync
+        ts = []
+        for i in range(3):
+            snap = build(1 + i)
+            t0 = time.time()
+            res = optimizer_lm.optimize(snap, cfg)
+            np.asarray(res.poses)
+            ts.append(time.time() - t0)
+        out[f"posegraph_solve_ms_n{n}"] = round(1e3 * min(ts), 1)
+    return out
+
+
+def bench_loop_bb(g, queries):
+    """Branch-and-bound loop-detection throughput: candidate nodes matched
+    against one finished local map's pyramid (loop_detector_branch_bound
+    .cpp:62-89), one device dispatch per node, sync each."""
+    from my_lidar_graph_slam_tpu.ops import pyramid as pyrops
+
+    pyr = pyrops.build_pyramid(gridops.values(g), 6)
+    np.asarray(pyr[0, 0, 0])
+    win_t = matchers.static_max_theta_window(RES, SCAN_RANGE_MAX, 1.0)
+
+    def match(i, jitter_seed):
+        p, r, a, v = queries[i]
+        rng = np.random.default_rng(jitter_seed)
+        ip = jnp.asarray(p + rng.uniform(-0.01, 0.01, 3), jnp.float32)
+        return matchers.branch_bound_match(
+            pyr, g, ip, jnp.asarray(r), jnp.asarray(a), jnp.asarray(v),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(SCAN_RANGE_MAX, jnp.float32),
+            jnp.zeros(3, jnp.float32),
+            jnp.asarray(SCAN_RANGE_MAX, jnp.float32),
+            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(0.01, jnp.float32),
+            jnp.asarray(SCAN_RANGE_MAX, jnp.float32),
+            jnp.asarray(0.6, jnp.float32),
+            node_height_max=6, win_x=20, win_y=20, win_theta_max=win_t,
+            frontier_cap=4096, num_total_beams=N_BEAMS)
+
+    s = match(0, 100)
+    np.asarray(s.estimated_pose)  # compile + sync
+    t0 = time.time()
+    k = 6
+    for i in range(k):
+        s = match(i + 1, 200 + i)
+        np.asarray(s.estimated_pose)
+    dt = time.time() - t0
+    return {"bb_loop_detection_nodes_per_s": round(k / dt, 2)}
+
+
 def main():
     t0 = time.time()
     g, queries = build_workload()
@@ -239,6 +325,15 @@ def main():
     t0 = time.time()
     cpp_mps, cpp_results = bench_cpp(g, queries)
     print(f"[bench] cpp: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    pg_extra = bench_posegraph()
+    print(f"[bench] posegraph: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    bb_extra = bench_loop_bb(g, queries)
+    print(f"[bench] loop-bb: {time.time() - t0:.1f}s", file=sys.stderr)
+    tpu_extra.update(pg_extra)
+    tpu_extra.update(bb_extra)
 
     # Parity: both argmaxes should land on (nearly) the same pose.
     agree = np.mean(

@@ -29,16 +29,19 @@ from my_lidar_graph_slam_tpu.ops import grid as gridops
 UNKNOWN_GRAY = 192
 
 
-def render_map(grid: gridops.GridMap,
-               node_poses: Optional[np.ndarray] = None,
-               crop: bool = True):
-    """Render an occupancy grid to an RGB array (bottom row = min y).
+def render_values(vals: np.ndarray, observed: np.ndarray,
+                  origin: np.ndarray, resolution: float,
+                  node_poses: Optional[np.ndarray] = None,
+                  scan_points: Optional[np.ndarray] = None,
+                  scan_poses: Optional[np.ndarray] = None,
+                  crop: bool = True):
+    """Render a raw occupancy-value array to RGB (core of SaveMapCore).
 
-    Returns (image [H, W, 3] uint8 in image orientation, i.e. flipped,
-    bottom_left world coords, top_right world coords, cell index min).
+    ``scan_points``: world-frame beam endpoints [M, 2] drawn as 2x2 blue
+    squares; ``scan_poses``: scan origins [K, 2] drawn as 3x3 green squares
+    (DrawScan, map_saver.cpp:365-410). Returns (flipped image, bottom_left,
+    top_right, (x0, y0) crop offset).
     """
-    vals = np.asarray(gridops.values(grid))
-    observed = np.asarray(grid.observed)
     h, w = vals.shape
     if crop and observed.any():
         ys, xs = np.where(observed)
@@ -53,15 +56,24 @@ def render_map(grid: gridops.GridMap,
     img = np.stack([gray, gray, gray], axis=-1)
     img[~sub_obs] = UNKNOWN_GRAY
 
-    res = float(grid.resolution)
-    origin = np.asarray(grid.origin)
+    res = float(resolution)
+    origin = np.asarray(origin)
     bottom_left = origin + res * np.array([x0, y0])
     top_right = origin + res * np.array([x1, y1])
+    hh, ww = img.shape[:2]
+
+    def to_img(px, py):
+        return (np.floor((px - origin[0]) / res).astype(int) - x0,
+                np.floor((py - origin[1]) / res).astype(int) - y0)
+
+    if scan_points is not None and len(scan_points) > 0:
+        ix, iy = to_img(scan_points[:, 0], scan_points[:, 1])
+        keep = (ix >= 0) & (ix < ww - 1) & (iy >= 0) & (iy < hh - 1)
+        for px, py in zip(ix[keep], iy[keep]):
+            img[py:py + 2, px:px + 2] = (0, 0, 255)
 
     if node_poses is not None and len(node_poses) > 0:
-        ix = np.floor((node_poses[:, 0] - origin[0]) / res).astype(int) - x0
-        iy = np.floor((node_poses[:, 1] - origin[1]) / res).astype(int) - y0
-        hh, ww = img.shape[:2]
+        ix, iy = to_img(node_poses[:, 0], node_poses[:, 1])
         for k in range(1, len(ix)):
             n = max(abs(ix[k] - ix[k - 1]), abs(iy[k] - iy[k - 1]), 1)
             xs_l = np.round(np.linspace(ix[k - 1], ix[k], n + 1)).astype(int)
@@ -70,18 +82,64 @@ def render_map(grid: gridops.GridMap,
                 img[max(0, py - 1):py + 1, max(0, px - 1):px + 1] = \
                     (255, 0, 0)
 
+    if scan_poses is not None and len(scan_poses) > 0:
+        ix, iy = to_img(scan_poses[:, 0], scan_poses[:, 1])
+        keep = (ix >= 0) & (ix < ww - 2) & (iy >= 0) & (iy < hh - 2)
+        for px, py in zip(ix[keep], iy[keep]):
+            img[py:py + 3, px:px + 3] = (0, 255, 0)
+
     # PNG is written flipped upside down (map_saver.cpp:453-463).
     return img[::-1], bottom_left, top_right, (x0, y0)
+
+
+def render_map(grid: gridops.GridMap,
+               node_poses: Optional[np.ndarray] = None,
+               scan_points: Optional[np.ndarray] = None,
+               scan_poses: Optional[np.ndarray] = None,
+               crop: bool = True):
+    """Render an occupancy grid to an RGB array (bottom row = min y)."""
+    return render_values(
+        np.asarray(gridops.values(grid)), np.asarray(grid.observed),
+        np.asarray(grid.origin), float(grid.resolution),
+        node_poses=node_poses, scan_points=scan_points,
+        scan_poses=scan_poses, crop=crop)
+
+
+def scan_endpoints(graph: PoseGraph, scans: mb.ScanStore,
+                   node_idx_min: int, node_idx_max: int) -> tuple:
+    """World-frame beam endpoints + sensor origins for a node span
+    (the DrawScan inputs, map_saver.cpp:387-410)."""
+    from my_lidar_graph_slam_tpu.utils import se2
+    pts, origins = [], []
+    for i in range(node_idx_min, node_idx_max + 1):
+        sid = int(graph.scan_ids[i])
+        if sid < 0:
+            continue
+        n = int(scans.raw_beams[sid])
+        sp = se2.compound_np(graph.poses[i],
+                             scans.rel_sensor_pose[sid].astype(np.float64))
+        a = sp[2] + scans.angles[sid, :n]
+        r = scans.ranges[sid, :n]
+        keep = r < scans.max_range[sid]
+        pts.append(np.stack([sp[0] + r[keep] * np.cos(a[keep]),
+                             sp[1] + r[keep] * np.sin(a[keep])], axis=-1))
+        origins.append(sp[:2])
+    if not pts:
+        return np.zeros((0, 2)), np.zeros((0, 2))
+    return np.concatenate(pts, axis=0), np.asarray(origins)
 
 
 def save_map(grid: gridops.GridMap, filename: str,
              node_poses: Optional[np.ndarray] = None,
              draw_trajectory: bool = True,
              save_metadata: bool = True,
-             node_idx_min: int = 0, node_idx_max: int = 0):
+             node_idx_min: int = 0, node_idx_max: int = 0,
+             scan_points: Optional[np.ndarray] = None,
+             scan_poses: Optional[np.ndarray] = None):
     """SaveMapCore equivalent: ``<filename>.png`` + ``<filename>.json``."""
     img, bottom_left, top_right, _ = render_map(
-        grid, node_poses if draw_trajectory else None)
+        grid, node_poses if draw_trajectory else None,
+        scan_points=scan_points, scan_poses=scan_poses)
     Image.fromarray(img).save(filename + ".png")
     if save_metadata:
         h, w = img.shape[:2]
@@ -98,6 +156,32 @@ def save_map(grid: gridops.GridMap, filename: str,
         }}
         with open(filename + ".json", "w") as f:
             json.dump(meta, f, indent=2)
+
+
+def save_local_maps(builder: mb.GridMapBuilder, graph: PoseGraph,
+                    filename: str):
+    """One PNG+JSON per local map: ``<filename>-local-map-<i>``
+    (MapSaver::SaveLocalMaps, map_saver.cpp:123-156)."""
+    poses = graph.node_poses()
+    for lm in builder.local_maps:
+        save_map(lm.grid, f"{filename}-local-map-{lm.idx}",
+                 node_poses=poses[lm.node_idx_min:lm.node_idx_max + 1],
+                 node_idx_min=lm.node_idx_min,
+                 node_idx_max=lm.node_idx_max)
+
+
+def save_pyramid_maps(builder: mb.GridMapBuilder, lm, filename: str,
+                      height_max: int = 6):
+    """One PNG per precomputed coarse level: ``<filename>-<winsize>``
+    (MapSaver::SavePrecomputedGridMaps, map_saver.cpp:231-275)."""
+    pyr = np.asarray(builder.pyramid_for(lm, height_max))
+    observed = np.asarray(lm.grid.observed)
+    for h in range(pyr.shape[0]):
+        win = 1 << h
+        img, _, _, _ = render_values(
+            pyr[h], observed | (pyr[h] != gridops.UNKNOWN),
+            np.asarray(lm.grid.origin), float(lm.grid.resolution))
+        Image.fromarray(img).save(f"{filename}-{win}.png")
 
 
 def save_pose_graph(graph: PoseGraph, scans: mb.ScanStore, filename: str):

@@ -28,11 +28,29 @@ def run(log_path: str, settings_path: str, output: str,
         threaded_backend: bool = True,
         max_scans: int = 0,
         gui_interval: int = 0,
-        gt_path: str = "") -> dict:
-    """Run the full pipeline; returns summary stats."""
+        gt_path: str = "",
+        save_local_maps: bool = False,
+        save_pyramid_maps: bool = False,
+        multihost: bool = False,
+        mesh_devices: int = 0) -> dict:
+    """Run the full pipeline; returns summary stats.
+
+    ``multihost`` initializes jax.distributed (coordinator from the
+    standard env vars) and spans the backend mesh over every process's
+    devices; ``mesh_devices`` > 0 builds a single-process mesh over the
+    first N local devices instead."""
+    mesh = None
+    if multihost:
+        from my_lidar_graph_slam_tpu.parallel import multihost as mh
+        mh.initialize()
+        mesh = mh.global_mesh("shard")
+    elif mesh_devices:
+        from my_lidar_graph_slam_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(mesh_devices, axis="shard")
     metrics = MetricManager.instance()
     cfg = config_mod.load(settings_path)
-    slam_obj = config_mod.create_slam(cfg, threaded_backend=threaded_backend)
+    slam_obj = config_mod.create_slam(cfg, threaded_backend=threaded_backend,
+                                      mesh=mesh)
 
     records = carmen.load(log_path)
     scan_records = [r for r in records if isinstance(r, RawScan)]
@@ -66,10 +84,20 @@ def run(log_path: str, settings_path: str, output: str,
     map_io.save_map(global_map, output, node_poses=poses,
                     node_idx_min=0, node_idx_max=graph.num_nodes - 1)
     if builder.latest_map is not None:
+        # The reference draws the scans into the latest map
+        # (slam_launcher.cpp:1018, drawScans=true).
+        pts, origins = map_io.scan_endpoints(
+            graph, slam_obj.scans, builder.latest_scan_idx_min,
+            builder.latest_scan_idx_max)
         map_io.save_map(builder.latest_map, output + "-latest",
                         node_poses=poses,
                         node_idx_min=builder.latest_scan_idx_min,
-                        node_idx_max=builder.latest_scan_idx_max)
+                        node_idx_max=builder.latest_scan_idx_max,
+                        scan_points=pts, scan_poses=origins)
+    if save_local_maps:
+        map_io.save_local_maps(builder, graph, output)
+    if save_pyramid_maps and builder.local_maps:
+        map_io.save_pyramid_maps(builder, builder.local_maps[0], output)
     map_io.save_pose_graph(graph, slam_obj.scans, output)
     viz.draw_pose_graph(graph, output + "-posegraph.png")
     map_io.save_checkpoint(output + ".ckpt.npz", graph, slam_obj.scans)
@@ -123,6 +151,15 @@ def main():
     parser.add_argument("--gt", default="",
                         help="ground-truth npz (true_poses, timestamps) "
                              "for ATE RMSE")
+    parser.add_argument("--save-local-maps", action="store_true",
+                        help="dump one PNG+JSON per local map")
+    parser.add_argument("--save-pyramid-maps", action="store_true",
+                        help="dump the first local map's coarse pyramid")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed and span the "
+                             "backend mesh across all processes")
+    parser.add_argument("--mesh-devices", type=int, default=0,
+                        help="single-process mesh over N local devices")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -130,7 +167,11 @@ def main():
         threaded_backend=not args.no_backend_thread,
         max_scans=args.max_scans,
         gui_interval=args.gui_interval,
-        gt_path=args.gt)
+        gt_path=args.gt,
+        save_local_maps=args.save_local_maps,
+        save_pyramid_maps=args.save_pyramid_maps,
+        multihost=args.multihost,
+        mesh_devices=args.mesh_devices)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,17 @@ class ScanStore:
         idx = self.count
         self._grow(idx + 1)
         n = min(scan.num_beams, self.beam_capacity)
+        if scan.num_beams > self.beam_capacity:
+            # Never truncate silently: interpolated 360/401-beam scans at
+            # fine spacing can exceed the capacity.
+            import sys
+            from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+            MetricManager.instance().counters(
+                "ScanStoreTruncatedBeams").increment(
+                scan.num_beams - self.beam_capacity)
+            print(f"WARNING: scan {idx} truncated from {scan.num_beams} to "
+                  f"{self.beam_capacity} beams (raise beam_capacity)",
+                  file=sys.stderr)
         self.ranges[idx, :n] = scan.ranges[:n]
         self.ranges[idx, n:] = 0.0
         self.angles[idx, :n] = scan.angles[:n]
@@ -137,6 +148,40 @@ class GridMapBuilder:
         self._update_latest_map(graph)
         return created
 
+    def _scan_fits(self, grid: gridops.GridMap, robot_pose,
+                   scan_id: int, margin: float = 1.0) -> bool:
+        """Does this scan's hit-point bounding box fit the submap extent?
+
+        The reference grows a patch-paged map on demand with a 5 m margin
+        (GridMap::Expand, grid_map.hpp:652-736). Dense fixed-size TPU
+        tensors cannot grow without a recompile, so the TPU-native
+        equivalent is to FINISH the current local map early and start a
+        fresh one centered on the robot whenever a scan would write outside
+        the extent — no beam is ever silently dropped.
+        """
+        cfg = self.config
+        st = self.scans
+        sensor_pose = se2.compound_np(robot_pose,
+                                      st.rel_sensor_pose[scan_id])
+        n = int(st.raw_beams[scan_id])
+        r = st.ranges[scan_id, :n]
+        keep = st.valid[scan_id, :n] & \
+            (r > cfg.usable_range_min) & (r < cfg.usable_range_max)
+        if not keep.any():
+            return True
+        a = sensor_pose[2] + st.angles[scan_id, :n][keep]
+        hx = sensor_pose[0] + r[keep] * np.cos(a)
+        hy = sensor_pose[1] + r[keep] * np.sin(a)
+        origin = np.asarray(grid.origin)
+        h, w = grid.shape
+        res = float(grid.resolution)
+        lo = origin + margin
+        hi = origin + res * np.array([w, h]) - margin
+        return bool(hx.min() >= lo[0] and hx.max() <= hi[0] and
+                    hy.min() >= lo[1] and hy.max() <= hi[1] and
+                    lo[0] <= sensor_pose[0] <= hi[0] and
+                    lo[1] <= sensor_pose[1] <= hi[1])
+
     def _update_local_maps(self, graph: PoseGraph) -> bool:
         cfg = self.config
         node_idx = graph.num_nodes - 1
@@ -152,6 +197,14 @@ class GridMapBuilder:
 
         create_new = (not self.local_maps) or \
             (self.travel_dist_last_local_map >= cfg.travel_dist_threshold)
+        if not create_new and not self._scan_fits(
+                self.local_maps[-1].grid, robot_pose, scan_id):
+            # Expand-equivalent: split the local map early instead of
+            # growing the dense tensor (grid_map.hpp:652-736).
+            from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+            MetricManager.instance().counters(
+                "LocalMapEarlySplits").increment()
+            create_new = True
         if create_new:
             if self.local_maps:
                 self.local_maps[-1].finished = True

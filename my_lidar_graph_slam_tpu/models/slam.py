@@ -156,24 +156,54 @@ class Backend:
 
     def run_once(self, slam: "LidarGraphSlam") -> int:
         """One backend pass; returns the number of accepted loop edges."""
+        import time as _time
+
+        from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+        metrics = MetricManager.instance()
+
         candidates = self.searcher.search(slam.graph, slam.builder)
         if not candidates:
             return 0
+        t0 = _time.time()
         results = self.detector.detect(slam.graph, slam.builder, candidates)
+        metrics.distributions("LoopDetectionTime").observe(
+            _time.time() - t0)
+        metrics.counters("LoopDetectionQueries").increment(
+            sum(len(c.node_indices) for c in candidates))
         if not results:
             return 0
         slam.append_loop_closing_edges(results)
+        metrics.counters("LoopClosingEdges").increment(len(results))
 
         n_dev = 1 if self.mesh is None else \
             int(np.prod(list(self.mesh.shape.values())))
         snapshot = slam.graph.snapshot(
             edge_cap=_round_multiple(slam.graph.num_edges, n_dev))
         optimized_count = slam.graph.num_nodes
+        t0 = _time.time()
         res = self._optimize(snapshot)
-        slam.after_loop_closure(np.asarray(res.poses, np.float64),
-                                optimized_count)
+        poses_opt = np.asarray(res.poses, np.float64)
+        metrics.distributions("PoseGraphSolveTime").observe(
+            _time.time() - t0)
+        self._dump_error_histogram(snapshot, poses_opt, metrics)
+        slam.after_loop_closure(poses_opt, optimized_count)
         self.num_loop_closures += 1
         return len(results)
+
+    @staticmethod
+    def _dump_error_histogram(snapshot, poses_opt, metrics):
+        """Per-edge chi-square errors after optimization into the metric
+        histogram, the reference's one wired metric
+        (pose_graph_optimizer_lm.cpp:341-381)."""
+        from my_lidar_graph_slam_tpu.models import optimizer_lm as olm
+        err = np.asarray(olm.edge_errors(
+            poses_opt.astype(np.float32), snapshot.edge_i, snapshot.edge_j,
+            snapshot.edge_rel))
+        sq = np.einsum("ei,eij,ej->e", err, snapshot.edge_info, err)
+        hist = metrics.histograms("PoseGraphEdgeError",
+                                  boundaries=np.logspace(-4, 2, 13).tolist())
+        for v in sq[np.asarray(snapshot.edge_mask)]:
+            hist.observe(float(v))
 
 
 def _round_multiple(n: int, k: int, minimum: int = 64) -> int:

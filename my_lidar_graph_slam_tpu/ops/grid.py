@@ -120,6 +120,46 @@ def in_bounds(grid: GridMap, ix, iy):
     return (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
 
 
+class CountingGridMap(NamedTuple):
+    """Hit/miss-ratio occupancy submap — the CountingGridCell policy
+    (counting_grid_cell.hpp:15-85): value = hits / (hits + misses), Unknown
+    until first observation. An alternative cell strategy to the
+    binary-Bayes :class:`GridMap`; like the reference's, it is a complete
+    usable policy that the default launcher does not instantiate
+    (the reference launcher also only builds BinaryBayesGridCell maps).
+    """
+
+    hits: jnp.ndarray      # f32[H, W] hit observations per cell
+    counts: jnp.ndarray    # f32[H, W] total observations per cell
+    origin: jnp.ndarray    # f32[2]
+    resolution: jnp.ndarray  # f32[]
+
+    @property
+    def shape(self):
+        return self.hits.shape
+
+
+def counting_empty(height: int, width: int, resolution: float,
+                   center: np.ndarray | None = None) -> CountingGridMap:
+    if center is None:
+        center = np.zeros((2,), np.float32)
+    center = np.asarray(center, np.float32)
+    origin = center - 0.5 * resolution * np.array([width, height], np.float32)
+    return CountingGridMap(
+        hits=jnp.zeros((height, width), jnp.float32),
+        counts=jnp.zeros((height, width), jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        resolution=jnp.asarray(resolution, jnp.float32),
+    )
+
+
+def counting_values(grid: CountingGridMap) -> jnp.ndarray:
+    """Occupancy = hits / observations; Unknown=0 where never observed
+    (counting_grid_cell.hpp:60-77)."""
+    return jnp.where(grid.counts > 0,
+                     grid.hits / jnp.maximum(grid.counts, 1.0), UNKNOWN)
+
+
 def lookup(value_map: jnp.ndarray, ix, iy, default=UNKNOWN):
     """Masked map read: out-of-bounds returns ``default``.
 

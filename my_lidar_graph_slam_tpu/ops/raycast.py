@@ -28,25 +28,13 @@ from my_lidar_graph_slam_tpu.ops import grid as gridops
 from my_lidar_graph_slam_tpu.utils import se2
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps",))
-def integrate_scan(grid: gridops.GridMap,
-                   sensor_pose,
-                   ranges,
-                   angles,
-                   valid,
-                   usable_range_min,
-                   usable_range_max,
-                   prob_hit=0.6,
-                   prob_miss=0.45,
-                   max_steps: int = 448) -> gridops.GridMap:
-    """Integrate one scan into the map (grid_map_builder.cpp:145-186).
+def trace_cells(grid, sensor_pose, ranges, angles, valid,
+                usable_range_min, usable_range_max, max_steps: int):
+    """Shared Bresenham-equivalent cell walk for all update policies.
 
-    ``sensor_pose``: f32[3] world sensor pose. ``ranges``/``angles``/``valid``:
-    f32[NB]/f32[NB]/bool[NB]. ``usable_range_min/max``: effective range gate,
-    already combined with the scan's own limits by the caller
-    (``max(UsableRangeMin, scan.min_range)`` etc., grid_map_builder.cpp:357-361).
-    ``max_steps``: static cap on Bresenham steps per beam
-    (>= usable_range_max / resolution).
+    Returns ``(miss_flat, miss_ok, hit_flat, hit_ok)`` — flattened cell
+    indices + in-map masks for the miss cells along each beam and the hit
+    cells (grid_map_builder.cpp:145-186, util.hpp:257-303).
     """
     h, w = grid.shape
     use = valid & (ranges > usable_range_min) & (ranges < usable_range_max)
@@ -76,9 +64,6 @@ def integrate_scan(grid: gridops.GridMap,
                               ).astype(jnp.int32)
     miss_mask = use[:, None] & (steps[None, :] < n_steps[:, None])
 
-    lo_miss = gridops.logit(jnp.asarray(prob_miss, jnp.float32))
-    lo_hit = gridops.logit(jnp.asarray(prob_hit, jnp.float32))
-
     # Flattened masked scatter-add; out-of-bounds cells are dropped.
     def flat_ok(ix, iy, mask):
         ok = mask & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
@@ -87,6 +72,36 @@ def integrate_scan(grid: gridops.GridMap,
 
     miss_flat, miss_ok = flat_ok(miss_ix, miss_iy, miss_mask)
     hit_flat, hit_ok = flat_ok(hix, hiy, use)
+    return miss_flat, miss_ok, hit_flat, hit_ok
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def integrate_scan(grid: gridops.GridMap,
+                   sensor_pose,
+                   ranges,
+                   angles,
+                   valid,
+                   usable_range_min,
+                   usable_range_max,
+                   prob_hit=0.6,
+                   prob_miss=0.45,
+                   max_steps: int = 448) -> gridops.GridMap:
+    """Integrate one scan into the map (grid_map_builder.cpp:145-186).
+
+    ``sensor_pose``: f32[3] world sensor pose. ``ranges``/``angles``/``valid``:
+    f32[NB]/f32[NB]/bool[NB]. ``usable_range_min/max``: effective range gate,
+    already combined with the scan's own limits by the caller
+    (``max(UsableRangeMin, scan.min_range)`` etc., grid_map_builder.cpp:357-361).
+    ``max_steps``: static cap on Bresenham steps per beam
+    (>= usable_range_max / resolution).
+    """
+    h, w = grid.shape
+    miss_flat, miss_ok, hit_flat, hit_ok = trace_cells(
+        grid, sensor_pose, ranges, angles, valid,
+        usable_range_min, usable_range_max, max_steps)
+
+    lo_miss = gridops.logit(jnp.asarray(prob_miss, jnp.float32))
+    lo_hit = gridops.logit(jnp.asarray(prob_hit, jnp.float32))
 
     log_odds = grid.log_odds.reshape(-1)
     log_odds = log_odds.at[miss_flat].add(
@@ -104,6 +119,35 @@ def integrate_scan(grid: gridops.GridMap,
 
     return grid._replace(
         log_odds=log_odds.reshape(h, w), observed=observed.reshape(h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def integrate_scan_counting(grid: gridops.CountingGridMap,
+                            sensor_pose,
+                            ranges,
+                            angles,
+                            valid,
+                            usable_range_min,
+                            usable_range_max,
+                            max_steps: int = 448
+                            ) -> gridops.CountingGridMap:
+    """Integrate one scan under the hit/miss-ratio cell policy
+    (counting_grid_cell.hpp:15-85): hit cells get (hits+1, counts+1), miss
+    cells get (counts+1); value = hits / counts."""
+    h, w = grid.shape
+    miss_flat, miss_ok, hit_flat, hit_ok = trace_cells(
+        grid, sensor_pose, ranges, angles, valid,
+        usable_range_min, usable_range_max, max_steps)
+
+    counts = grid.counts.reshape(-1)
+    counts = counts.at[miss_flat].add(
+        jnp.where(miss_ok, 1.0, 0.0), mode="drop")
+    counts = counts.at[hit_flat].add(
+        jnp.where(hit_ok, 1.0, 0.0), mode="drop")
+    hits = grid.hits.reshape(-1)
+    hits = hits.at[hit_flat].add(jnp.where(hit_ok, 1.0, 0.0), mode="drop")
+    return grid._replace(hits=hits.reshape(h, w),
+                         counts=counts.reshape(h, w))
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))

@@ -257,9 +257,14 @@ def create_optimizer_config(root: Config, optimizer_type: str,
 
 
 def create_slam(root: Config,
-                threaded_backend: bool = False) -> slam.LidarGraphSlam:
+                threaded_backend: bool = False,
+                mesh=None) -> slam.LidarGraphSlam:
     """CreateLidarGraphSlam (slam_launcher.cpp:846-876): the full object
-    graph from one settings tree."""
+    graph from one settings tree.
+
+    ``mesh``: optional jax.sharding.Mesh — the backend then runs the
+    edge-sharded solver and fans loop-detection queries out across it
+    (single- or multi-host)."""
     top = root.group("LidarGraphSlam") if root.get("LidarGraphSlam") \
         else Config({})
 
@@ -333,7 +338,7 @@ def create_slam(root: Config,
         root,
         be.get("LoopDetectorType", "GridSearch"),
         be.get("LoopDetectorConfigGroup", "LoopDetectorGridSearch"))
-    backend = slam.Backend(searcher, detector, lm_cfg)
+    backend = slam.Backend(searcher, detector, lm_cfg, mesh=mesh)
 
     graph = PoseGraph()
     return slam.LidarGraphSlam(frontend, backend, builder, graph,
