@@ -15,8 +15,10 @@ statically bucketed batches so recompilation stays bounded.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +35,37 @@ def _bucket(n: int, minimum: int = 8) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "latest_size"))
+def _fused_map_update(local_log_odds, local_observed, local_origin,
+                      resolution,
+                      new_sensor_pose, nr, na, nv, nrmin, nrmax,
+                      latest_center, poses, rr, ra, rv, rrel, rrmin, rrmax,
+                      ractive, prob_hit, prob_miss,
+                      max_steps: int, latest_size: int):
+    """One-dispatch frontend map step: integrate the newest scan into the
+    current local map AND rebuild the latest map from the last N scans
+    (grid_map_builder.cpp:48-59, 196-207 as a single fused program — each
+    synchronous dispatch through the device tunnel costs ~37 ms, so the
+    frontend batches all per-keyframe map work into one)."""
+    local = gridops.GridMap(local_log_odds, local_observed, local_origin,
+                            resolution)
+    local = raycast.integrate_scan(
+        local, new_sensor_pose, nr, na, nv, nrmin, nrmax,
+        prob_hit=prob_hit, prob_miss=prob_miss, max_steps=max_steps)
+
+    origin = latest_center - 0.5 * resolution * latest_size
+    latest = gridops.GridMap(
+        jnp.zeros((latest_size, latest_size), jnp.float32),
+        jnp.zeros((latest_size, latest_size), bool),
+        origin, resolution)
+    latest = raycast.integrate_scans(
+        latest, poses, rr, ra, rv, rrel, rrmin, rrmax,
+        scan_active=ractive, prob_hit=prob_hit, prob_miss=prob_miss,
+        max_steps=max_steps)
+    return (local.log_odds, local.observed,
+            latest.log_odds, latest.observed, origin)
 
 
 class ScanStore:
@@ -142,11 +175,80 @@ class GridMapBuilder:
     def append_scan(self, graph: PoseGraph) -> bool:
         """Integrate the latest node's scan (grid_map_builder.cpp:48-59).
 
-        Returns True when a new local map was created.
+        Returns True when a new local map was created. All device work for
+        the keyframe (local-map integration + latest-map rebuild) runs as
+        ONE fused dispatch.
         """
         created = self._update_local_maps(graph)
-        self._update_latest_map(graph)
+        self._fused_frontend_update(graph)
         return created
+
+    def _fused_frontend_update(self, graph: PoseGraph):
+        cfg = self.config
+        st = self.scans
+        node_idx = graph.num_nodes - 1
+        robot_pose = graph.poses[node_idx]
+        scan_id = int(graph.scan_ids[node_idx])
+        lm = self.local_maps[-1]
+
+        lo = max(0, node_idx - cfg.num_scans_for_latest_map + 1)
+        hi = node_idx
+        k = cfg.num_scans_for_latest_map
+        m = hi - lo + 1
+        ids = graph.scan_ids[lo:hi + 1].astype(np.int64)
+
+        nb = int(-(-max(int(st.raw_beams[ids].max()), 1) // 64) * 64)
+        nb = min(nb, st.beam_capacity)
+
+        poses = np.zeros((k, 3), np.float32)
+        poses[:m] = graph.poses[lo:hi + 1]
+        ranges = np.zeros((k, nb), np.float32)
+        angles = np.zeros((k, nb), np.float32)
+        valid = np.zeros((k, nb), bool)
+        rel = np.zeros((k, 3), np.float32)
+        rmin = np.full((k,), cfg.usable_range_min, np.float32)
+        rmax = np.full((k,), cfg.usable_range_max, np.float32)
+        active = np.zeros((k,), bool)
+        ranges[:m] = st.ranges[ids][:, :nb]
+        angles[:m] = st.angles[ids][:, :nb]
+        valid[:m] = st.valid[ids][:, :nb]
+        rel[:m] = st.rel_sensor_pose[ids]
+        rmin[:m] = np.maximum(cfg.usable_range_min, st.min_range[ids])
+        rmax[:m] = np.minimum(cfg.usable_range_max, st.max_range[ids])
+        active[:m] = True
+
+        sensor_pose = se2.compound_np(robot_pose,
+                                      st.rel_sensor_pose[scan_id])
+        (l_lo, l_ob, latest_lo, latest_ob, latest_origin) = \
+            _fused_map_update(
+                lm.grid.log_odds, lm.grid.observed, lm.grid.origin,
+                lm.grid.resolution,
+                jnp.asarray(sensor_pose, jnp.float32),
+                jnp.asarray(st.ranges[scan_id, :nb]),
+                jnp.asarray(st.angles[scan_id, :nb]),
+                jnp.asarray(st.valid[scan_id, :nb]),
+                jnp.asarray(max(cfg.usable_range_min,
+                                float(st.min_range[scan_id])), jnp.float32),
+                jnp.asarray(min(cfg.usable_range_max,
+                                float(st.max_range[scan_id])), jnp.float32),
+                jnp.asarray(robot_pose[:2], jnp.float32),
+                jnp.asarray(poses), jnp.asarray(ranges),
+                jnp.asarray(angles), jnp.asarray(valid), jnp.asarray(rel),
+                jnp.asarray(rmin), jnp.asarray(rmax), jnp.asarray(active),
+                jnp.asarray(cfg.prob_hit, jnp.float32),
+                jnp.asarray(cfg.prob_miss, jnp.float32),
+                max_steps=cfg.max_ray_steps,
+                latest_size=cfg.latest_map_size)
+
+        lm.grid = gridops.GridMap(l_lo, l_ob, lm.grid.origin,
+                                  lm.grid.resolution)
+        lm.node_idx_max = node_idx
+        lm.pyramid = None
+        self.latest_map = gridops.GridMap(latest_lo, latest_ob,
+                                          latest_origin,
+                                          lm.grid.resolution)
+        self.latest_scan_idx_min = lo
+        self.latest_scan_idx_max = hi
 
     def _scan_fits(self, grid: gridops.GridMap, robot_pose,
                    scan_id: int, margin: float = 1.0) -> bool:
@@ -215,10 +317,8 @@ class GridMapBuilder:
                 node_idx_min=node_idx, node_idx_max=node_idx))
             self.travel_dist_last_local_map = 0.0
 
-        lm = self.local_maps[-1]
-        lm.grid = self._integrate_one(lm.grid, robot_pose, scan_id)
-        lm.node_idx_max = node_idx
-        lm.pyramid = None  # the map changed; invalidate the coarse cache
+        # Integration happens in _fused_frontend_update (one dispatch with
+        # the latest-map rebuild); here only bookkeeping.
         return create_new
 
     def _integrate_one(self, grid, robot_pose, scan_id: int):

@@ -13,6 +13,7 @@ see ops/cost.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,47 @@ def _set_row(full, i, one):
     out = full.copy()
     out[i] = one
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "top_groups",
+                     "top_thetas", "cost_type", "greedy_params"))
+def _fused_pruned_match(log_odds, observed, origin, resolution,
+                        initial_poses, ranges, angles, valid,
+                        scan_min_range, scan_max_range, rel_sensor_poses,
+                        scan_range_max, range_theta,
+                        usable_range_min, usable_range_max,
+                        normalized_score_threshold, num_total_beams,
+                        win_x: int, win_y: int, win_theta_max: int,
+                        top_groups: int, top_thetas: int,
+                        cost_type: str, greedy_params: tuple):
+    """One-dispatch frontend match step: occupancy values + bound stack +
+    pruned match fused into a single program, with the whole result packed
+    into one small array so the host pays ONE transfer round trip
+    (the tunnel costs ~37 ms per synchronous dispatch — the frontend's
+    dominant cost at SLAM rates)."""
+    grid = gridops.GridMap(log_odds, observed, origin, resolution)
+    vals = gridops.values(grid)
+    stack = matchers.make_bound_stack(vals, win_x, win_y)
+    summary, exact = matchers.correlative_match_pruned_batch(
+        vals, stack, grid, initial_poses, ranges, angles, valid,
+        scan_min_range, scan_max_range, rel_sensor_poses,
+        scan_range_max, range_theta, usable_range_min, usable_range_max,
+        normalized_score_threshold, num_total_beams,
+        win_x=win_x, win_y=win_y, win_theta_max=win_theta_max,
+        top_groups=top_groups, top_thetas=top_thetas,
+        cost_type=cost_type, greedy_params=greedy_params)
+    q = initial_poses.shape[0]
+    packed = jnp.concatenate([
+        summary.estimated_pose,                       # 0:3
+        summary.covariance.reshape(q, 9),             # 3:12
+        summary.normalized_score[:, None],            # 12
+        summary.normalized_cost[:, None],             # 13
+        summary.pose_found[:, None].astype(jnp.float32),   # 14
+        exact[:, None].astype(jnp.float32),           # 15
+    ], axis=1)
+    return packed
 
 # Effective defaults given launcher_settings_default.json:2-9 and the
 # constructor-argument swap at slam_launcher.cpp:70-72.
@@ -75,10 +117,54 @@ class CorrelativeMatcher:
 
     def match(self, grid: gridops.GridMap, store, scan_id: int,
               initial_pose) -> matchers.MatchSummary:
-        batched = self.match_batch(grid, store, [scan_id],
-                                   np.asarray(initial_pose)[None, :])
+        """Single-query frontend match: ONE fused device dispatch + ONE
+        packed host transfer (values + bound stack + pruned match); falls
+        back to the brute batch kernel when the exactness certificate
+        fails (rare)."""
+        res = float(grid.resolution)
+        win_x = int(np.ceil(0.5 * self.range_x / res))
+        win_y = int(np.ceil(0.5 * self.range_y / res))
+        win_t = matchers.static_max_theta_window(
+            res, self.scan_range_max, self.range_theta)
+        nb = int(-(-max(int(store.raw_beams[scan_id]), 1) // 64) * 64)
+        nb = min(nb, store.beam_capacity)
+        sid = slice(scan_id, scan_id + 1)
+
+        packed = np.asarray(_fused_pruned_match(
+            grid.log_odds, grid.observed, grid.origin, grid.resolution,
+            jnp.asarray(np.asarray(initial_pose)[None, :], jnp.float32),
+            jnp.asarray(store.ranges[sid, :nb]),
+            jnp.asarray(store.angles[sid, :nb]),
+            jnp.asarray(store.valid[sid, :nb]),
+            jnp.asarray(store.min_range[sid]),
+            jnp.asarray(store.max_range[sid]),
+            jnp.asarray(store.rel_sensor_pose[sid]),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(-1e30, jnp.float32),
+            jnp.asarray(store.raw_beams[sid], jnp.float32),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            top_groups=14, top_thetas=48,
+            cost_type=self.cost_type,
+            greedy_params=self.greedy_params))[0]
+
+        exact = bool(packed[15] > 0.5)
+        self.last_exact_fraction = 1.0 if exact else 0.0
+        if not exact:
+            batched = self.match_batch(grid, store, [scan_id],
+                                       np.asarray(initial_pose)[None, :])
+            return matchers.MatchSummary(
+                *(leaf[0] for leaf in batched))
         return matchers.MatchSummary(
-            *(leaf[0] for leaf in batched))
+            pose_found=packed[14] > 0.5,
+            normalized_cost=packed[13],
+            normalized_score=packed[12],
+            initial_pose=np.asarray(initial_pose, np.float32),
+            estimated_pose=packed[0:3],
+            covariance=packed[3:12].reshape(3, 3),
+        )
 
     def match_batch(self, grid: gridops.GridMap, store, scan_ids,
                     initial_poses) -> matchers.MatchSummary:

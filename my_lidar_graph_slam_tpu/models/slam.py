@@ -321,6 +321,12 @@ class LidarGraphSlam:
                 if self._stop:
                     break
                 self.backend.run_once(self)
+            # Drain pass: the reference's condvar loop drops notifications
+            # that arrive while the worker is busy and exits immediately on
+            # stop (lidar_graph_slam.cpp:447-456); a final pass over the
+            # complete graph makes StopBackend deterministic — loop
+            # closures signaled near the end of a run are not lost.
+            self.backend.run_once(self)
 
         self._backend_thread = threading.Thread(target=run, daemon=True)
         self._backend_thread.start()
