@@ -199,6 +199,9 @@ class GridMapBuilder:
 
         nb = int(-(-max(int(st.raw_beams[ids].max()), 1) // 64) * 64)
         nb = min(nb, st.beam_capacity)
+        reach = min(cfg.usable_range_max, float(st.max_range[ids].max()))
+        steps = int(-(-(reach / cfg.resolution + 2) // 64) * 64)
+        steps = min(steps, cfg.max_ray_steps)
 
         poses = np.zeros((k, 3), np.float32)
         poses[:m] = graph.poses[lo:hi + 1]
@@ -237,7 +240,7 @@ class GridMapBuilder:
                 jnp.asarray(rmin), jnp.asarray(rmax), jnp.asarray(active),
                 jnp.asarray(cfg.prob_hit, jnp.float32),
                 jnp.asarray(cfg.prob_miss, jnp.float32),
-                max_steps=cfg.max_ray_steps,
+                max_steps=steps,
                 latest_size=cfg.latest_map_size)
 
         lm.grid = gridops.GridMap(l_lo, l_ob, lm.grid.origin,
@@ -363,22 +366,32 @@ class GridMapBuilder:
         st = self.scans
         count = idx_max - idx_min + 1
         k = batch or min(_bucket(count), 128)
+        all_ids = graph.scan_ids[idx_min:idx_max + 1].astype(np.int64)
+        # Beam-width and ray-step buckets: the scatter kernel's work is
+        # beams x steps, and scans are front-packed, so slicing to the
+        # smallest covering bucket cuts the per-rebuild cost ~4-5x versus
+        # always using the full store capacity.
+        nb = int(-(-max(int(st.raw_beams[all_ids].max()), 1) // 64) * 64)
+        nb = min(nb, st.beam_capacity)
+        reach = min(cfg.usable_range_max, float(st.max_range[all_ids].max()))
+        steps = int(-(-(reach / cfg.resolution + 2) // 64) * 64)
+        steps = min(steps, cfg.max_ray_steps)
         for chunk_start in range(idx_min, idx_max + 1, k):
             chunk_end = min(chunk_start + k, idx_max + 1)
             m = chunk_end - chunk_start
             ids = graph.scan_ids[chunk_start:chunk_end].astype(np.int64)
             poses = np.zeros((k, 3), np.float32)
             poses[:m] = graph.poses[chunk_start:chunk_end]
-            ranges = np.zeros((k, st.beam_capacity), np.float32)
-            angles = np.zeros((k, st.beam_capacity), np.float32)
-            valid = np.zeros((k, st.beam_capacity), bool)
+            ranges = np.zeros((k, nb), np.float32)
+            angles = np.zeros((k, nb), np.float32)
+            valid = np.zeros((k, nb), bool)
             rel = np.zeros((k, 3), np.float32)
             rmin = np.full((k,), cfg.usable_range_min, np.float32)
             rmax = np.full((k,), cfg.usable_range_max, np.float32)
             active = np.zeros((k,), bool)
-            ranges[:m] = st.ranges[ids]
-            angles[:m] = st.angles[ids]
-            valid[:m] = st.valid[ids]
+            ranges[:m] = st.ranges[ids][:, :nb]
+            angles[:m] = st.angles[ids][:, :nb]
+            valid[:m] = st.valid[ids][:, :nb]
             rel[:m] = st.rel_sensor_pose[ids]
             rmin[:m] = np.maximum(cfg.usable_range_min, st.min_range[ids])
             rmax[:m] = np.minimum(cfg.usable_range_max, st.max_range[ids])
@@ -389,7 +402,7 @@ class GridMapBuilder:
                 jnp.asarray(rmin), jnp.asarray(rmax),
                 scan_active=jnp.asarray(active),
                 prob_hit=cfg.prob_hit, prob_miss=cfg.prob_miss,
-                max_steps=cfg.max_ray_steps)
+                max_steps=steps)
         return grid
 
     # -- loop closure --------------------------------------------------------
