@@ -491,6 +491,10 @@ def correlative_match_pruned_batch(value_map,
     # ---- Stage 1: theta-group bounds --------------------------------------
     half = group // 2
     ng = -(-(2 * win_theta_max + 1) // group)
+    # Small theta windows have fewer groups/thetas than the requested
+    # expansion budgets; clamp (static ints, resolved at trace time).
+    top_groups = min(top_groups, ng)
+    top_thetas = min(top_thetas, top_groups * group)
     g_start = jnp.arange(ng) * group - win_theta_max             # [NG]
     g_center = jnp.broadcast_to(g_start + half, (q, ng))
 
