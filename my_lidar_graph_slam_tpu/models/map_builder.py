@@ -324,22 +324,6 @@ class GridMapBuilder:
         # the latest-map rebuild); here only bookkeeping.
         return create_new
 
-    def _integrate_one(self, grid, robot_pose, scan_id: int):
-        cfg = self.config
-        st = self.scans
-        sensor_pose = se2.compound_np(robot_pose,
-                                      st.rel_sensor_pose[scan_id])
-        return raycast.integrate_scan(
-            grid,
-            jnp.asarray(sensor_pose, jnp.float32),
-            jnp.asarray(st.ranges[scan_id]),
-            jnp.asarray(st.angles[scan_id]),
-            jnp.asarray(st.valid[scan_id]),
-            max(cfg.usable_range_min, float(st.min_range[scan_id])),
-            min(cfg.usable_range_max, float(st.max_range[scan_id])),
-            prob_hit=cfg.prob_hit, prob_miss=cfg.prob_miss,
-            max_steps=cfg.max_ray_steps)
-
     def _update_latest_map(self, graph: PoseGraph):
         """Rebuild the last-N-scans map (grid_map_builder.cpp:196-207)."""
         cfg = self.config
