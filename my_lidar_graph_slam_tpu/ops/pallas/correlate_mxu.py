@@ -1,0 +1,267 @@
+"""Brute-force correlative window scoring on the MXU (Pallas TPU kernel).
+
+The correlative matcher's hot loop (reference:
+scan_matcher_real_time_correlative.cpp:50-145) evaluates
+``score[t, dx, dy] = sum_b w_b * M[iy(t, b) + dy, ix(t, b) + dx]`` over a
+full (theta, dx, dy) window — an irregular gather workload. Measured on
+v5e, XLA's scalar-gather path services ~100 M map reads/s, which caps any
+take-based implementation at roughly one CPU core's throughput (see
+BASELINE.md "device primitive physics").
+
+This kernel removes the scalar gathers entirely:
+
+* The map is pre-tiled into overlapping 128x128 VMEM-sized tiles with a
+  64-cell stride (:func:`make_mxu_tiles`). Consecutive theta candidates
+  move a beam endpoint by at most one cell (the search step is the
+  chord-equation step, scan_matcher_real_time_correlative.cpp:156-175),
+  so the arc swept by one beam across a <=56-theta chunk — plus the
+  (dx, dy) window — always fits inside a single 128x128 tile.
+* A scalar-prefetch grid over (query, beam) DMAs the per-(beam, chunk)
+  tiles into VMEM; per-theta map rows are extracted with a one-hot
+  matmul on the MXU, and the (dx, dy) window values with VPU iota
+  masks — zero data-dependent gathers anywhere.
+* Scores accumulate over beams in a VMEM block (the beam axis is the
+  innermost grid dimension), one f32 add per candidate per beam, matching
+  the summation semantics of ``scoring.window_scores``.
+
+Out-of-map reads return the Unknown sentinel 0 exactly as
+``GridMap::Value(idx, unknown)`` does (score_function_pixel_accurate.cpp:
+51-53): the tile frame carries a zero ring, far-outside endpoints clamp
+into it, and window offsets that fall off a tile produce all-zero one-hot
+rows (which read as 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128          # tile side (sublane/lane aligned)
+STRIDE = 64         # overlap stride: any <=65-cell extent fits one tile
+PAD_RING = 8        # zero ring so near-edge windows read Unknown 0
+DEF_THETA_CHUNK = 56
+
+
+class MxuTiles(NamedTuple):
+    """Overlapped 128x128 tiling of a padded value map.
+
+    ``tiles``: f32[NTY, NTX, 128, 128], tile (ty, tx) = padded map rows
+    [ty*64, ty*64+128) x cols [tx*64, tx*64+128). ``tiles[..., 0:PAD_RING]``
+    rows/cols along the map border are the zero (Unknown) ring.
+    """
+    tiles: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _make_tiles(value_map, h: int, w: int):
+    nty = -(-(h + 2 * PAD_RING - TILE) // STRIDE) + 1
+    ntx = -(-(w + 2 * PAD_RING - TILE) // STRIDE) + 1
+    hc = (nty - 1) * STRIDE + TILE
+    wc = (ntx - 1) * STRIDE + TILE
+    vp = jnp.pad(value_map,
+                 ((PAD_RING, hc - h - PAD_RING),
+                  (PAD_RING, wc - w - PAD_RING)))
+    ys = (jnp.arange(nty) * STRIDE)[:, None] + jnp.arange(TILE)  # [NTY,128]
+    rows = vp[ys.reshape(-1)].reshape(nty, TILE, wc)
+    xs = (jnp.arange(ntx) * STRIDE)[:, None] + jnp.arange(TILE)
+    tiles = rows[:, :, xs.reshape(-1)].reshape(nty, TILE, ntx, TILE)
+    return jnp.transpose(tiles, (0, 2, 1, 3))
+
+
+def make_mxu_tiles(value_map) -> MxuTiles:
+    """Precompute the overlapped tile array for one map (done once per
+    map, like the reference's coarse-map precompute)."""
+    h, w = value_map.shape
+    return MxuTiles(_make_tiles(value_map, h, w))
+
+
+def _kernel(nch, tc, wxn, wyn, tidy_ref, tidx_ref, *refs):
+    """One (query, beam) step: score all NCH*TC thetas x window offsets.
+
+    refs = [tile_ref x NCH, iyl_ref, ixl_ref, w_ref, out_ref].
+    Transposed orientation throughout — per-theta coordinates live along
+    LANES, map y/x along SUBLANES — so no in-kernel transposes are needed.
+    """
+    del tidy_ref, tidx_ref  # consumed by the index maps
+    tile_refs = refs[:nch]
+    iyl_ref, ixl_ref, w_ref, out_ref = refs[nch:]
+    b = pl.program_id(1)
+    rows = tc * wyn
+
+    iyl = iyl_ref[0, 0]                               # (1, NCH*TC) int32
+    ixl = ixl_ref[0, 0]
+    beam_w = w_ref[0, 0]
+
+    parts = []
+    for ch in range(nch):
+        tile = tile_refs[ch][0, 0]                    # (128, 128) f32
+        y_ch = iyl[:, ch * tc:(ch + 1) * tc]          # (1, TC)
+        x_ch = ixl[:, ch * tc:(ch + 1) * tc]
+
+        # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
+        ohy = jnp.concatenate(
+            [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(jnp.float32)
+             for dy in range(-(wyn // 2), wyn // 2 + 1)],
+            axis=1)                                   # (128, TC*WYN)
+        # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
+        a = jax.lax.dot_general(
+            tile, ohy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (128, TC*WYN)
+
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
+        x_rep = jnp.concatenate([x_ch] * wyn, axis=1)  # (1, TC*WYN)
+        cols = [jnp.sum(jnp.where(sub2 == x_rep + dx, a, 0.0),
+                        axis=0, keepdims=True)         # (1, TC*WYN)
+                for dx in range(-(wxn // 2), wxn // 2 + 1)]
+        if wxn < 8:
+            cols.append(jnp.zeros((8 - wxn, rows), jnp.float32))
+        parts.append(jnp.concatenate(cols, axis=0))   # (8, TC*WYN)
+
+    contrib = jnp.concatenate(parts, axis=1) * beam_w  # (8, NCH*TC*WYN)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(b > 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "theta_chunk", "q_chunk",
+                     "interpret"))
+def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
+                      win_x: int, win_y: int,
+                      theta_chunk: int = DEF_THETA_CHUNK,
+                      q_chunk: int = 16,
+                      interpret: bool = False):
+    """Scores over all (theta, dx, dy) candidates, gather-free.
+
+    ``ix``/``iy``: int32[Q, NT, NB] base hit cells in RAW map coordinates
+    (same convention as :func:`scoring.window_scores`); the theta axis must
+    be an ordered chord-step lattice so that any ``theta_chunk``
+    consecutive thetas move a weighted beam endpoint by at most
+    ``theta_chunk`` cells (guaranteed when the step comes from
+    :func:`matchers.search_step_theta` — one cell per step at max range).
+    ``beam_weight``: f32[Q, NB]; zero-weight beams may violate the drift
+    bound freely (their tiles clamp and their contribution is zero).
+
+    Returns f32[Q, NT, 2*win_x+1, 2*win_y+1] equal (up to f32 summation
+    order) to ``scoring.window_scores(value_map, ix, iy, w, win_x, win_y)``.
+    """
+    assert win_x <= 3 and win_y <= 3
+    tc = theta_chunk
+    assert tc + 2 * max(win_x, win_y) + 1 <= TILE - STRIDE + 1, \
+        "theta chunk arc + window must fit the tile overlap budget"
+    q, nt, nb = ix.shape
+    nty, ntx = tiles.tiles.shape[0], tiles.tiles.shape[1]
+    hc = (nty - 1) * STRIDE + TILE
+    wc = (ntx - 1) * STRIDE + TILE
+    nch = -(-nt // tc)
+    ntp = nch * tc
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    rows = tc * wyn
+
+    qp = -(-q // q_chunk) * q_chunk
+    if ntp != nt or qp != q:
+        ix = jnp.pad(ix, ((0, qp - q), (0, ntp - nt), (0, 0)), mode="edge")
+        iy = jnp.pad(iy, ((0, qp - q), (0, ntp - nt), (0, 0)), mode="edge")
+        beam_weight = jnp.pad(beam_weight, ((0, qp - q), (0, 0)),
+                              mode="edge")
+
+    # Padded-frame coordinates, clamped into the tile frame (far-outside
+    # endpoints land in the zero ring -> read Unknown 0).
+    iyp = jnp.clip(iy + PAD_RING, 0, hc - 1)
+    ixp = jnp.clip(ix + PAD_RING, 0, wc - 1)
+
+    # Tile choice per (query, beam, chunk): cover the chunk's arc bbox.
+    iy4 = iyp.reshape(qp, nch, tc, -1)
+    ix4 = ixp.reshape(qp, nch, tc, -1)
+    tidy = jnp.clip((iy4.min(axis=2) - win_y) // STRIDE, 0, nty - 1)
+    tidx = jnp.clip((ix4.min(axis=2) - win_x) // STRIDE, 0, ntx - 1)
+    tidy = tidy.astype(jnp.int32)                    # [QP, NCH, NB]
+    tidx = tidx.astype(jnp.int32)
+
+    # Tile-local coordinates, laid out [QP, NB, 1, NT_PAD] (the trailing
+    # (1, NT_PAD) block spans the array's last two dims — a Mosaic block
+    # shape requirement — and is lane-contiguous for the DMA).
+    iyl = (iy4 - (tidy * STRIDE)[:, :, None, :]).reshape(qp, ntp, -1)
+    ixl = (ix4 - (tidx * STRIDE)[:, :, None, :]).reshape(qp, ntp, -1)
+    iyl = jnp.transpose(iyl, (0, 2, 1)).astype(jnp.int32)[:, :, None, :]
+    ixl = jnp.transpose(ixl, (0, 2, 1)).astype(jnp.int32)[:, :, None, :]
+    tidy = jnp.transpose(tidy, (0, 2, 1))            # [QP, NB, NCH]
+    tidx = jnp.transpose(tidx, (0, 2, 1))
+
+    def tile_spec(ch):
+        return pl.BlockSpec(
+            (1, 1, TILE, TILE),
+            lambda qi, bi, ty, tx, c=ch: (ty[qi, bi, c], tx[qi, bi, c],
+                                          0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(q_chunk, nb),
+        in_specs=(
+            [tile_spec(ch) for ch in range(nch)] +
+            [pl.BlockSpec((1, 1, 1, ntp),
+                          lambda qi, bi, ty, tx: (qi, bi, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 1, 1, ntp),
+                          lambda qi, bi, ty, tx: (qi, bi, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 1), lambda qi, bi, ty, tx: (qi, bi),
+                          memory_space=pltpu.SMEM)]),
+        out_specs=pl.BlockSpec(
+            (1, 8, nch * rows), lambda qi, bi, ty, tx: (qi, 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        functools.partial(_kernel, nch, tc, wxn, wyn),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q_chunk, 8, nch * rows),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+
+    outs = []
+    for c0 in range(0, qp, q_chunk):
+        s = slice(c0, c0 + q_chunk)
+        outs.append(call(tidy[s], tidx[s], *([tiles.tiles] * nch),
+                         iyl[s], ixl[s],
+                         beam_weight[s].astype(jnp.float32)))
+    raw = jnp.concatenate(outs, axis=0)              # [QP, 8, NCH*TC*WYN]
+
+    # Decode: lane r of chunk ch is (dyi, tci) = divmod-like (dyi*TC + tci);
+    # sublane is dxi (first WXN rows). -> [Q, NT, WXN, WYN].
+    sc = raw.reshape(qp, 8, nch, wyn, tc)
+    sc = jnp.transpose(sc, (0, 2, 4, 1, 3))          # [QP, NCH, TC, 8, WYN]
+    sc = sc.reshape(qp, ntp, 8, wyn)[:q, :nt, :wxn, :]
+    return sc
+
+
+def theta_chunk_supported(win_x: int, win_y: int,
+                          tc: int = DEF_THETA_CHUNK) -> bool:
+    """Whether (win_x, win_y) fits the tile overlap budget at chunk tc."""
+    return (win_x <= 3 and win_y <= 3 and
+            tc + 2 * max(win_x, win_y) + 1 <= TILE - STRIDE + 1)
+
+
+def available() -> bool:
+    """True when the current default backend can run the Mosaic kernel."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
