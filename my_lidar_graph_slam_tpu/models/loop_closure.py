@@ -108,6 +108,14 @@ class LoopSearcherNearest:
             local_map_node_idx=best)]
 
 
+def _bucket_batch(n: int) -> int:
+    """Pad batch sizes to power-of-two buckets so recompiles stay rare."""
+    k = 1
+    while k < n:
+        k *= 2
+    return k
+
+
 def _scan_args(st: mb.ScanStore, scan_id: int):
     return dict(
         ranges=jnp.asarray(st.ranges[scan_id]),
@@ -168,36 +176,53 @@ class LoopDetectorBranchBound:
         cfg = builder.config
         win_x, win_y, win_t = self._window_params(cfg)
 
+        st = builder.scans
         for cand in candidates:
             lm = builder.local_maps[cand.local_map_idx]
             assert lm.finished
             pyr = builder.pyramid_for(lm, self.node_height_max)
             anchor_pose = graph.poses[cand.local_map_node_idx]
 
-            for node_idx in cand.node_indices:
-                scan_id = int(graph.scan_ids[node_idx])
-                summary = matchers.branch_bound_match(
-                    pyr, lm.grid,
-                    jnp.asarray(graph.poses[node_idx], jnp.float32),
-                    scan_range_max=jnp.asarray(self.scan_range_max,
-                                               jnp.float32),
-                    range_theta=jnp.asarray(self.range_theta, jnp.float32),
-                    usable_range_min=jnp.asarray(self.usable_range_min,
-                                                 jnp.float32),
-                    usable_range_max=jnp.asarray(self.usable_range_max,
-                                                 jnp.float32),
-                    normalized_score_threshold=jnp.asarray(
-                        self.score_threshold, jnp.float32),
-                    node_height_max=self.node_height_max,
-                    win_x=win_x, win_y=win_y, win_theta_max=win_t,
-                    frontier_cap=self.frontier_cap,
-                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
-                    greedy_params=self.greedy_params,
-                    **_scan_args(builder.scans, scan_id))
-                if not bool(summary.pose_found):
+            # All candidate nodes for this map in ONE dispatch — the
+            # reference's sequential per-node loop
+            # (loop_detector_branch_bound.cpp:62-89) costs a ~37 ms device
+            # round trip per node here; the batched program is identical
+            # math per node (see test_loop_detectors.py parity test).
+            nodes = list(cand.node_indices)
+            k = _bucket_batch(len(nodes))
+            ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
+            idsp = np.concatenate([ids, np.zeros(k - len(nodes), ids.dtype)])
+            poses = np.zeros((k, 3), np.float32)
+            poses[:len(nodes)] = graph.poses[nodes]
+            valid = st.valid[idsp].copy()
+            valid[len(nodes):] = False  # padded rows score 0 -> not found
+
+            out = matchers.branch_bound_match_batch(
+                pyr, lm.grid, jnp.asarray(poses),
+                jnp.asarray(st.ranges[idsp]), jnp.asarray(st.angles[idsp]),
+                jnp.asarray(valid),
+                jnp.asarray(st.min_range[idsp]),
+                jnp.asarray(st.max_range[idsp]),
+                jnp.asarray(st.rel_sensor_pose[idsp]),
+                jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
+                scan_range_max=jnp.asarray(self.scan_range_max, jnp.float32),
+                range_theta=jnp.asarray(self.range_theta, jnp.float32),
+                usable_range_min=jnp.asarray(self.usable_range_min,
+                                             jnp.float32),
+                usable_range_max=jnp.asarray(self.usable_range_max,
+                                             jnp.float32),
+                normalized_score_threshold=jnp.asarray(
+                    self.score_threshold, jnp.float32),
+                node_height_max=self.node_height_max,
+                win_x=win_x, win_y=win_y, win_theta_max=win_t,
+                frontier_cap=self.frontier_cap,
+                greedy_params=self.greedy_params)
+            found = np.asarray(out.pose_found)
+            for row, node_idx in enumerate(nodes):
+                if not bool(found[row]):
                     continue  # silent skip (loop_detector_branch_bound.cpp:74)
-                self._emit(results, graph, cand, node_idx, anchor_pose,
-                           summary)
+                one = jax.tree_util.tree_map(lambda x, r=row: x[r], out)
+                self._emit(results, graph, cand, node_idx, anchor_pose, one)
         return results
 
     def _detect_fanout(self, graph: PoseGraph, builder: mb.GridMapBuilder,

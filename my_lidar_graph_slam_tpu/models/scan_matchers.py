@@ -8,6 +8,14 @@ wrapper exposes ``match(grid, scan_store, scan_id, initial_pose)``.
 Default greedy-endpoint parameters replicate the launcher's *effective*
 configuration, including the swapped (scale, sigma) constructor arguments —
 see ops/cost.py.
+
+Frontend score threshold: the reference frontend calls the matcher overload
+that passes ``std::numeric_limits<double>::min()`` — the smallest POSITIVE
+double — as the normalized threshold (scan_matcher_real_time_correlative
+.cpp:40-46), then asserts pose_found (lidar_graph_slam_frontend.cpp:
+109-110). Scores are sums of non-negative occupancies, so the equivalent
+here is threshold 0.0 with strict ``>``: a scan that hits no known cell
+(score 0) fails the match exactly as the reference's assert would fire.
 """
 
 from __future__ import annotations
@@ -143,7 +151,7 @@ class CorrelativeMatcher:
             jnp.asarray(self.range_theta, jnp.float32),
             jnp.asarray(self.usable_range_min, jnp.float32),
             jnp.asarray(self.usable_range_max, jnp.float32),
-            jnp.asarray(-1e30, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
             jnp.asarray(store.raw_beams[sid], jnp.float32),
             win_x=win_x, win_y=win_y, win_theta_max=win_t,
             top_groups=14, top_thetas=48,
@@ -204,7 +212,7 @@ class CorrelativeMatcher:
                                          jnp.float32),
             usable_range_max=jnp.asarray(self.usable_range_max,
                                          jnp.float32),
-            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
             num_total_beams=jnp.asarray(store.raw_beams[ids], jnp.float32),
         )
         poses = jnp.asarray(initial_poses, jnp.float32)
@@ -283,7 +291,7 @@ class BranchBoundMatcher:
             range_theta=jnp.asarray(self.range_theta, jnp.float32),
             usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
             usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
-            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
             node_height_max=self.node_height_max,
             win_x=win_x, win_y=win_y, win_theta_max=win_t,
             frontier_cap=self.frontier_cap,
@@ -318,7 +326,7 @@ class GridSearchMatcher:
             jnp.asarray(initial_pose, jnp.float32),
             usable_range_min=jnp.asarray(self.usable_range_min, jnp.float32),
             usable_range_max=jnp.asarray(self.usable_range_max, jnp.float32),
-            normalized_score_threshold=jnp.asarray(-1e30, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
             step_x=jnp.asarray(self.step_x, jnp.float32),
             step_y=jnp.asarray(self.step_y, jnp.float32),
             step_t=jnp.asarray(self.step_theta, jnp.float32),

@@ -821,6 +821,65 @@ def branch_bound_match(pyramid,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_height_max", "win_x", "win_y", "win_theta_max",
+                     "frontier_cap", "cost_type", "greedy_params"))
+def branch_bound_match_batch(pyramid,
+                             grid: gridops.GridMap,
+                             initial_poses,
+                             ranges, angles, valid,
+                             scan_min_range, scan_max_range,
+                             rel_sensor_poses,
+                             num_total_beams,
+                             scan_range_max,
+                             range_theta,
+                             usable_range_min, usable_range_max,
+                             normalized_score_threshold,
+                             node_height_max: int,
+                             win_x: int, win_y: int, win_theta_max: int,
+                             frontier_cap: int = 4096,
+                             cost_type: str = "greedy_endpoint",
+                             greedy_params: tuple = ()) -> MatchSummary:
+    """K branch-and-bound matches against one pyramid in ONE dispatch.
+
+    Single-device batched form of the loop detector's candidate loop
+    (loop_detector_branch_bound.cpp:62-89): the reference matches each
+    candidate node sequentially; on TPU one vmapped program matches them
+    all, amortizing the per-dispatch host round trip (~37 ms through the
+    tunnel) that dominates the sequential path. Results are identical to
+    per-node :func:`branch_bound_match` calls.
+
+    ``initial_poses``: f32[K, 3]; scan tensors are [K, NB]; per-node
+    scalars (incl. ``num_total_beams``, the reference's normalization
+    divisor which varies per scan) are f32[K]. ``num_total_beams`` is
+    traced, so the matcher runs un-normalized (n_total=1) with the
+    threshold pre-scaled, exactly like
+    ``distributed.branch_bound_fanout``.
+    """
+    def match_one(p, r1, a1, v1, mn1, mx1, rel1, nt1):
+        s = branch_bound_match(
+            pyramid, grid, p, r1, a1, v1, mn1, mx1, rel1,
+            scan_range_max, range_theta, usable_range_min, usable_range_max,
+            normalized_score_threshold * nt1,
+            node_height_max=node_height_max,
+            win_x=win_x, win_y=win_y, win_theta_max=win_theta_max,
+            frontier_cap=frontier_cap,
+            cost_type=cost_type,
+            num_total_beams=1,
+            greedy_params=greedy_params)
+        return s._replace(
+            normalized_cost=s.normalized_cost / nt1,
+            normalized_score=s.normalized_score / nt1)
+
+    return jax.vmap(match_one)(
+        initial_poses, ranges, angles, valid,
+        jnp.asarray(scan_min_range, jnp.float32),
+        jnp.asarray(scan_max_range, jnp.float32),
+        rel_sensor_poses,
+        jnp.asarray(num_total_beams, jnp.float32))
+
+
 # ---------------------------------------------------------------------------
 # Hill climbing matcher
 # ---------------------------------------------------------------------------

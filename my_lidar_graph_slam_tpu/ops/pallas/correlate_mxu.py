@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128          # tile side (sublane/lane aligned)
 STRIDE = 64         # overlap stride: any <=65-cell extent fits one tile
 PAD_RING = 8        # zero ring so near-edge windows read Unknown 0
+LANE = 128          # lane-tile width: per-chunk index arrays pad to this
 DEF_THETA_CHUNK = 56
 
 
@@ -81,58 +82,60 @@ def make_mxu_tiles(value_map) -> MxuTiles:
     return MxuTiles(_make_tiles(value_map, h, w))
 
 
-def _kernel(nch, tc, wxn, wyn, tidy_ref, tidx_ref, *refs):
-    """One (query, beam) step: score all NCH*TC thetas x window offsets.
+def _kernel(tc, wxn, wyn, tidy_ref, tidx_ref, w_ref,
+            tile_ref, iyl_ref, ixl_ref, out_ref):
+    """One (query, chunk, beam) step: score TC thetas x window offsets.
 
-    refs = [tile_ref x NCH, iyl_ref, ixl_ref, w_ref, out_ref].
+    The theta-chunk axis lives in the GRID (not a Python loop over lane
+    slices): Mosaic v5e rejects broadcasts of vectors whose lane offset is
+    non-zero ("Invalid input layout"), so every in-kernel slice must start
+    at lane 0 — one chunk per grid step guarantees that. ``w_ref`` is the
+    scalar-prefetch beam-weight array f32[QC, NB] in SMEM (a (1, 1)
+    BlockSpec over it is likewise rejected; prefetch refs are exempt and
+    indexable by scalars).
     Transposed orientation throughout — per-theta coordinates live along
     LANES, map y/x along SUBLANES — so no in-kernel transposes are needed.
     """
     del tidy_ref, tidx_ref  # consumed by the index maps
-    tile_refs = refs[:nch]
-    iyl_ref, ixl_ref, w_ref, out_ref = refs[nch:]
-    b = pl.program_id(1)
+    qi = pl.program_id(0)
+    b = pl.program_id(2)
     rows = tc * wyn
 
-    iyl = iyl_ref[0, 0]                               # (1, NCH*TC) int32
-    ixl = ixl_ref[0, 0]
-    beam_w = w_ref[0, 0]
+    tile = tile_ref[0, 0]                             # (128, 128) f32
+    iyl = iyl_ref[0, 0, 0]                            # (1, LANE) int32
+    ixl = ixl_ref[0, 0, 0]
+    beam_w = w_ref[qi, b]
 
-    parts = []
-    for ch in range(nch):
-        tile = tile_refs[ch][0, 0]                    # (128, 128) f32
-        y_ch = iyl[:, ch * tc:(ch + 1) * tc]          # (1, TC)
-        x_ch = ixl[:, ch * tc:(ch + 1) * tc]
+    y_ch = iyl[:, :tc]                                # (1, TC), lane off 0
+    x_ch = ixl[:, :tc]
 
-        # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
-        sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
-        ohy = jnp.concatenate(
-            [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(jnp.float32)
-             for dy in range(-(wyn // 2), wyn // 2 + 1)],
-            axis=1)                                   # (128, TC*WYN)
-        # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
-        a = jax.lax.dot_general(
-            tile, ohy, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (128, TC*WYN)
+    # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
+    ohy = jnp.concatenate(
+        [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(jnp.float32)
+         for dy in range(-(wyn // 2), wyn // 2 + 1)],
+        axis=1)                                       # (128, TC*WYN)
+    # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
+    a = jax.lax.dot_general(
+        tile, ohy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (128, TC*WYN)
 
-        sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
-        x_rep = jnp.concatenate([x_ch] * wyn, axis=1)  # (1, TC*WYN)
-        cols = [jnp.sum(jnp.where(sub2 == x_rep + dx, a, 0.0),
-                        axis=0, keepdims=True)         # (1, TC*WYN)
-                for dx in range(-(wxn // 2), wxn // 2 + 1)]
-        if wxn < 8:
-            cols.append(jnp.zeros((8 - wxn, rows), jnp.float32))
-        parts.append(jnp.concatenate(cols, axis=0))   # (8, TC*WYN)
-
-    contrib = jnp.concatenate(parts, axis=1) * beam_w  # (8, NCH*TC*WYN)
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
+    x_rep = jnp.concatenate([x_ch] * wyn, axis=1)     # (1, TC*WYN)
+    cols = [jnp.sum(jnp.where(sub2 == x_rep + dx, a, 0.0),
+                    axis=0, keepdims=True)            # (1, TC*WYN)
+            for dx in range(-(wxn // 2), wxn // 2 + 1)]
+    if wxn < 8:
+        cols.append(jnp.zeros((8 - wxn, rows), jnp.float32))
+    contrib = jnp.concatenate(cols, axis=0) * beam_w  # (8, TC*WYN)
 
     @pl.when(b == 0)
     def _():
-        out_ref[0] = contrib
+        out_ref[0, 0] = contrib
 
     @pl.when(b > 0)
     def _():
-        out_ref[0] = out_ref[0] + contrib
+        out_ref[0, 0] = out_ref[0, 0] + contrib
 
 
 @functools.partial(
@@ -192,62 +195,63 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     tidy = tidy.astype(jnp.int32)                    # [QP, NCH, NB]
     tidx = tidx.astype(jnp.int32)
 
-    # Tile-local coordinates, laid out [QP, NB, 1, NT_PAD] (the trailing
-    # (1, NT_PAD) block spans the array's last two dims — a Mosaic block
-    # shape requirement — and is lane-contiguous for the DMA).
-    iyl = (iy4 - (tidy * STRIDE)[:, :, None, :]).reshape(qp, ntp, -1)
-    ixl = (ix4 - (tidx * STRIDE)[:, :, None, :]).reshape(qp, ntp, -1)
-    iyl = jnp.transpose(iyl, (0, 2, 1)).astype(jnp.int32)[:, :, None, :]
-    ixl = jnp.transpose(ixl, (0, 2, 1)).astype(jnp.int32)[:, :, None, :]
+    # Tile-local coordinates, laid out [QP, NB, NCH, 1, LANE]: each chunk's
+    # TC indices are padded out to a full 128-lane tile, and the chunk axis
+    # is a GRID dimension, so every in-kernel slice starts at lane 0 (see
+    # _kernel). The trailing (1, LANE) block spans the array's last two
+    # dims — a Mosaic block-shape requirement — and is lane-contiguous.
+    def chunk_pad(v4, tid):
+        loc = v4 - (tid * STRIDE)[:, :, None, :]     # [QP, NCH, TC, NB]
+        loc = jnp.pad(loc, ((0, 0), (0, 0), (0, LANE - tc), (0, 0)))
+        loc = jnp.transpose(loc, (0, 3, 1, 2))       # [QP, NB, NCH, LANE]
+        return loc.astype(jnp.int32)[:, :, :, None, :]
+
+    iyl = chunk_pad(iy4, tidy)
+    ixl = chunk_pad(ix4, tidx)
     tidy = jnp.transpose(tidy, (0, 2, 1))            # [QP, NB, NCH]
     tidx = jnp.transpose(tidx, (0, 2, 1))
 
-    def tile_spec(ch):
-        return pl.BlockSpec(
-            (1, 1, TILE, TILE),
-            lambda qi, bi, ty, tx, c=ch: (ty[qi, bi, c], tx[qi, bi, c],
-                                          0, 0),
-            memory_space=pltpu.VMEM)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(q_chunk, nb),
+        num_scalar_prefetch=3,
+        grid=(q_chunk, nch, nb),
         in_specs=(
-            [tile_spec(ch) for ch in range(nch)] +
-            [pl.BlockSpec((1, 1, 1, ntp),
-                          lambda qi, bi, ty, tx: (qi, bi, 0, 0),
+            [pl.BlockSpec(
+                (1, 1, TILE, TILE),
+                lambda qi, ch, bi, ty, tx, w: (ty[qi, bi, ch],
+                                               tx[qi, bi, ch], 0, 0),
+                memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, 1, 1, 1, LANE),
+                          lambda qi, ch, bi, ty, tx, w: (qi, bi, ch, 0, 0),
                           memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, 1, 1, ntp),
-                          lambda qi, bi, ty, tx: (qi, bi, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, 1), lambda qi, bi, ty, tx: (qi, bi),
-                          memory_space=pltpu.SMEM)]),
+             pl.BlockSpec((1, 1, 1, 1, LANE),
+                          lambda qi, ch, bi, ty, tx, w: (qi, bi, ch, 0, 0),
+                          memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec(
-            (1, 8, nch * rows), lambda qi, bi, ty, tx: (qi, 0, 0),
+            (1, 1, 8, rows), lambda qi, ch, bi, ty, tx, w: (qi, ch, 0, 0),
             memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, nch, tc, wxn, wyn),
+        functools.partial(_kernel, tc, wxn, wyn),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q_chunk, 8, nch * rows),
+        out_shape=jax.ShapeDtypeStruct((q_chunk, nch, 8, rows),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )
 
     outs = []
     for c0 in range(0, qp, q_chunk):
         s = slice(c0, c0 + q_chunk)
-        outs.append(call(tidy[s], tidx[s], *([tiles.tiles] * nch),
-                         iyl[s], ixl[s],
-                         beam_weight[s].astype(jnp.float32)))
-    raw = jnp.concatenate(outs, axis=0)              # [QP, 8, NCH*TC*WYN]
+        outs.append(call(tidy[s], tidx[s],
+                         beam_weight[s].astype(jnp.float32),
+                         tiles.tiles, iyl[s], ixl[s]))
+    raw = jnp.concatenate(outs, axis=0)              # [QP, NCH, 8, TC*WYN]
 
-    # Decode: lane r of chunk ch is (dyi, tci) = divmod-like (dyi*TC + tci);
-    # sublane is dxi (first WXN rows). -> [Q, NT, WXN, WYN].
-    sc = raw.reshape(qp, 8, nch, wyn, tc)
-    sc = jnp.transpose(sc, (0, 2, 4, 1, 3))          # [QP, NCH, TC, 8, WYN]
+    # Decode: lane r of chunk ch is (dyi, tci) = dyi*TC + tci; sublane is
+    # dxi (first WXN rows). -> [Q, NT, WXN, WYN].
+    sc = raw.reshape(qp, nch, 8, wyn, tc)
+    sc = jnp.transpose(sc, (0, 1, 4, 2, 3))          # [QP, NCH, TC, 8, WYN]
     sc = sc.reshape(qp, ntp, 8, wyn)[:q, :nt, :wxn, :]
     return sc
 

@@ -77,10 +77,10 @@ def window_scores(value_map, ix, iy, beam_weight, win_x: int, win_y: int):
     (dx = a - win_x, dy = b - win_y), matching the (x outer, y inner)
     iteration of the reference (scan_matcher_real_time_correlative.cpp:98-115).
 
-    Implemented as a batched window gather: the map is zero-padded by the
-    window radius so every patch read is a single dynamic slice; XLA lowers
-    the vmapped slice to one gather with window-sized slice dims. Out-of-map
-    cells read 0 (Unknown), matching ``GridMap::Value(idx, unknown)``.
+    Implemented as one flat scalar take per window cell over a zero-padded
+    map (see the inline comment for the measured device rates that force
+    this choice). Out-of-map cells read 0 (Unknown), matching
+    ``GridMap::Value(idx, unknown)``.
     """
     h, w = value_map.shape
     wx = 2 * win_x + 1

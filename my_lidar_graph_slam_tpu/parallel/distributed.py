@@ -97,7 +97,7 @@ def optimize_sharded(graph: GraphArrays, config: optimizer_lm.LMConfig,
             out = out.at[0].add(optimizer_lm.GAUGE * v[0])
             return out
 
-        def block_diag_inv(ji, jj, winfo, lam):
+        def block_diag(ji, jj, winfo, lam):
             hii = optimizer_lm._mm(
                 optimizer_lm._mm(jnp.swapaxes(ji, -1, -2), winfo), ji)
             hjj = optimizer_lm._mm(
@@ -109,13 +109,21 @@ def optimize_sharded(graph: GraphArrays, config: optimizer_lm.LMConfig,
             eye = jnp.eye(3, dtype=ji.dtype)
             diag = diag + lam * eye[None]
             diag = diag.at[0].add(optimizer_lm.GAUGE * eye)
-            return jnp.linalg.inv(diag)
+            return diag
 
         def pcg(rhs, ji, jj, winfo, lam):
-            diag_inv = block_diag_inv(ji, jj, winfo, lam)
+            # Chain preconditioner (see optimizer_lm.chain_factor): each
+            # device scatters its local odometric-edge blocks, ONE psum
+            # replicates the chain, then the cyclic-reduction factor/solve
+            # runs redundantly per device — no communication per CG step
+            # beyond the Hv psum, and CG iterations drop from O(N) to
+            # O(#loop edges).
+            diag = block_diag(ji, jj, winfo, lam)
+            sub = psum(optimizer_lm._chain_subdiag(g, ji, jj, winfo, n))
+            levels, dinv_f, npow = optimizer_lm.chain_factor(diag, sub)
 
             def precond(r):
-                return optimizer_lm._mv(diag_inv, r)
+                return optimizer_lm.chain_solve(levels, dinv_f, npow, r)
 
             x0 = jnp.zeros_like(rhs)
             z0 = precond(rhs)

@@ -388,3 +388,76 @@ def test_correlative_matcher_wrapper_equals_brute(scene):
     np.testing.assert_allclose(np.asarray(batched.normalized_score),
                                np.asarray(brute.normalized_score),
                                rtol=1e-4)
+
+
+def test_branch_bound_batch_matches_single(scene):
+    """branch_bound_match_batch (the one-dispatch loop-detection path,
+    loop_detector_branch_bound.cpp:62-89) must equal per-node
+    branch_bound_match calls, including per-node beam normalization."""
+    g, segs, beam_angles, vals = scene
+    init_poses = np.array([[0.0, 0.0, 0.3],
+                           [0.1, -0.05, 0.25],
+                           [-0.08, 0.1, 0.35],
+                           [0.05, 0.02, 0.32]], np.float32)
+    true_poses = init_poses + np.array([0.1, -0.06, 0.04], np.float32)
+    scans = [make_query(segs, beam_angles, tp) for tp in true_poses]
+    ranges = jnp.stack([s[0] for s in scans])
+    angles = jnp.stack([s[1] for s in scans])
+    valid = jnp.stack([s[2] for s in scans])
+    k = len(scans)
+
+    pyr = pyramid.build_pyramid(jnp.asarray(vals), 4)
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.25)
+    kw = dict(node_height_max=4, win_x=8, win_y=8, win_theta_max=win_t,
+              frontier_cap=4096)
+
+    batch = matchers.branch_bound_match_batch(
+        pyr, g, jnp.asarray(init_poses),
+        ranges, angles, valid,
+        jnp.zeros(k, jnp.float32), jnp.full(k, 20.0, jnp.float32),
+        jnp.zeros((k, 3), jnp.float32),
+        jnp.full(k, 181.0, jnp.float32),
+        scan_range_max=jnp.asarray(20.0, jnp.float32),
+        range_theta=jnp.asarray(0.25, jnp.float32),
+        usable_range_min=jnp.asarray(0.01, jnp.float32),
+        usable_range_max=jnp.asarray(20.0, jnp.float32),
+        normalized_score_threshold=jnp.asarray(0.1, jnp.float32),
+        **kw)
+
+    for i in range(k):
+        one = matchers.branch_bound_match(
+            pyr, g, jnp.asarray(init_poses[i]),
+            ranges[i], angles[i], valid[i],
+            scan_range_max=jnp.asarray(20.0, jnp.float32),
+            range_theta=jnp.asarray(0.25, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.1, jnp.float32),
+            num_total_beams=181,
+            **kw, **COMMON)
+        assert bool(batch.pose_found[i]) == bool(one.pose_found)
+        np.testing.assert_allclose(np.asarray(batch.estimated_pose[i]),
+                                   np.asarray(one.estimated_pose),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(batch.normalized_score[i]),
+                                   float(one.normalized_score), rtol=1e-5)
+
+
+def test_frontend_threshold_rejects_garbage_scan(scene):
+    """A scan that hits no known map cell scores 0 and must FAIL the match
+    (the reference frontend passes double::min() as the threshold and
+    asserts pose_found, lidar_graph_slam_frontend.cpp:109-110)."""
+    g, segs, beam_angles, vals = scene
+    # All beams invalid -> every candidate scores exactly 0.
+    ranges = jnp.zeros(NB, jnp.float32)
+    angles = jnp.zeros(NB, jnp.float32)
+    valid = jnp.zeros(NB, bool)
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.25)
+    s = matchers.correlative_match(
+        jnp.asarray(vals), g, jnp.asarray([0.0, 0.0, 0.3], jnp.float32),
+        ranges, angles, valid,
+        scan_range_max=jnp.asarray(20.0, jnp.float32),
+        range_theta=jnp.asarray(0.25, jnp.float32),
+        normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
+        win_x=2, win_y=2, win_theta_max=win_t,
+        num_total_beams=181,
+        **COMMON)
+    assert not bool(s.pose_found)
