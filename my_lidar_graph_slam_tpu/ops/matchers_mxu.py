@@ -1,0 +1,156 @@
+"""Correlative matcher on the gather-free Pallas MXU kernel.
+
+``correlative_match_mxu_batch`` is a drop-in alternative to
+``matchers.correlative_match_batch`` (the brute-force full-window sweep of
+ScanMatcherRealTimeCorrelative, scan_matcher_real_time_correlative.cpp:
+50-145): identical candidate lattice, identical (theta, dx, dy) first-max
+tie order, identical cost/covariance — but the window scores come from
+:func:`ops.pallas.correlate_mxu.window_scores_mxu`, which extracts map
+values with one-hot matmuls on the MXU instead of scalar gathers. Measured
+on v5e, the scalar-gather path is issue-rate bound at ~100 M map reads/s
+(one CPU core's worth — BASELINE.md "device primitive physics"); the MXU
+formulation's FLOPs are ~9 MF per (query, theta-chunk, beam) step, which
+the 128x128 systolic array sustains at far beyond the gather rate.
+
+Exact by construction (no pruning, no certificate needed): every candidate
+in the window is scored, so the argmax equals the brute-force oracle's.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from my_lidar_graph_slam_tpu.ops import grid as gridops
+from my_lidar_graph_slam_tpu.ops import matchers
+from my_lidar_graph_slam_tpu.ops.pallas import correlate_mxu as cm
+from my_lidar_graph_slam_tpu.utils import se2
+
+
+def make_tiles(value_map) -> cm.MxuTiles:
+    """Precompute the overlapped VMEM tile array for one map (once per
+    map, like the reference's coarse-map precompute)."""
+    return cm.make_mxu_tiles(value_map)
+
+
+def supported(win_x: int, win_y: int) -> bool:
+    return cm.theta_chunk_supported(win_x, win_y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
+                     "q_chunk", "cost_type", "greedy_params", "interpret"))
+def correlative_match_mxu_batch(value_map,
+                                tiles: cm.MxuTiles,
+                                grid: gridops.GridMap,
+                                initial_poses,
+                                ranges, angles, valid,
+                                scan_min_range, scan_max_range,
+                                rel_sensor_poses,
+                                scan_range_max,
+                                range_theta,
+                                usable_range_min, usable_range_max,
+                                normalized_score_threshold,
+                                num_total_beams,
+                                win_x: int, win_y: int, win_theta_max: int,
+                                theta_chunk: int = cm.DEF_THETA_CHUNK,
+                                q_chunk: int = 16,
+                                cost_type: str = "greedy_endpoint",
+                                greedy_params: tuple = (),
+                                interpret: bool = False
+                                ) -> matchers.MatchSummary:
+    """Q full-window correlative matches in ONE dispatch, gather-free.
+
+    Arguments mirror :func:`matchers.correlative_match_batch`; ``tiles``
+    must be ``make_tiles(gridops.values(grid))`` for the same map
+    (precomputed once per map, excluded from steady-state cost like the
+    reference's coarse map). ``value_map`` is still needed for the final
+    cost/covariance evaluation at the single best pose (a handful of
+    gathers — negligible).
+    """
+    q, nb = ranges.shape
+    n_total = jnp.asarray(num_total_beams, jnp.float32)
+
+    sensor_poses = jax.vmap(se2.compound)(initial_poses, rel_sensor_poses)
+    sx_ = sensor_poses[:, 0]
+    sy_ = sensor_poses[:, 1]
+    st_ = sensor_poses[:, 2]
+
+    max_range = jnp.minimum(
+        jnp.max(jnp.where(valid, ranges, -jnp.inf), axis=-1),
+        scan_range_max)                                          # [Q]
+    res = grid.resolution
+    step_t = matchers.search_step_theta(res, max_range)          # [Q]
+    win_theta_act = jnp.ceil(0.5 * range_theta / step_t).astype(jnp.int32)
+
+    proj_mask = valid & (ranges < scan_range_max)
+    wgt = proj_mask.astype(jnp.float32)                          # [Q, NB]
+
+    nt = 2 * win_theta_max + 1
+    t_idx = jnp.arange(nt) - win_theta_max                       # [NT]
+
+    # Hit cells for the full ORDERED theta lattice (the ordering is what
+    # bounds per-chunk endpoint drift to <= 1 cell per step — the chord
+    # step moves an endpoint at most one cell,
+    # scan_matcher_real_time_correlative.cpp:156-175).
+    c0 = jnp.cos(st_[:, None] + angles)                          # [Q, NB]
+    s0 = jnp.sin(st_[:, None] + angles)
+    dt = t_idx[None, :].astype(jnp.float32) * step_t[:, None]    # [Q, NT]
+    ct = jnp.cos(dt)[:, :, None]
+    st2 = jnp.sin(dt)[:, :, None]
+    cos_phi = c0[:, None, :] * ct - s0[:, None, :] * st2
+    sin_phi = s0[:, None, :] * ct + c0[:, None, :] * st2
+    hx = sx_[:, None, None] + ranges[:, None, :] * cos_phi
+    hy = sy_[:, None, None] + ranges[:, None, :] * sin_phi
+    ix = jnp.floor((hx - grid.origin[0]) / res).astype(jnp.int32)
+    iy = jnp.floor((hy - grid.origin[1]) / res).astype(jnp.int32)
+
+    scores = cm.window_scores_mxu(
+        tiles, ix, iy, wgt, win_x, win_y,
+        theta_chunk=theta_chunk, q_chunk=q_chunk,
+        interpret=interpret)                          # [Q, NT, WXN, WYN]
+    live = jnp.abs(t_idx)[None, :] <= win_theta_act[:, None]
+    scores = jnp.where(live[:, :, None, None], scores, -jnp.inf)
+
+    # First maximum in (theta, dx, dy) order == reference loop order
+    # (scan_matcher_real_time_correlative.cpp:98-118).
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    flat = scores.reshape(q, -1)
+    best = jnp.argmax(flat, axis=-1)
+    best_score = jnp.take_along_axis(flat, best[:, None], -1)[:, 0]
+    bt = best // (wxn * wyn) - win_theta_max
+    bx = (best // wyn) % wxn - win_x
+    by = best % wyn - win_y
+
+    score_threshold = normalized_score_threshold * n_total
+    pose_found = best_score > score_threshold
+    best_sensor_poses = jnp.stack([
+        sx_ + bx.astype(jnp.float32) * res,
+        sy_ + by.astype(jnp.float32) * res,
+        st_ + bt.astype(jnp.float32) * step_t,
+    ], axis=-1)                                                  # [Q, 3]
+
+    cost_mask = matchers._range_gate(
+        valid, ranges, usable_range_min, usable_range_max,
+        scan_min_range[:, None], scan_max_range[:, None])
+    c, cov = jax.vmap(
+        lambda p_, r_, a_, m_: matchers._cost_and_covariance(
+            cost_type, value_map, grid, p_, r_, a_, m_, greedy_params))(
+        best_sensor_poses, ranges, angles,
+        cost_mask.astype(value_map.dtype))
+
+    estimated_poses = jax.vmap(se2.move_backward)(best_sensor_poses,
+                                                  rel_sensor_poses)
+    return matchers.MatchSummary(
+        pose_found=pose_found,
+        normalized_cost=c / n_total,
+        normalized_score=best_score / n_total,
+        initial_pose=initial_poses,
+        estimated_pose=estimated_poses,
+        covariance=cov,
+        frontier_overflow=jnp.zeros((q,), jnp.int32),
+    )

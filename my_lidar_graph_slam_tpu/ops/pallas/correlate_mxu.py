@@ -82,17 +82,20 @@ def make_mxu_tiles(value_map) -> MxuTiles:
     return MxuTiles(_make_tiles(value_map, h, w))
 
 
-def _kernel(tc, wxn, wyn, tidy_ref, tidx_ref, w_ref,
+def _kernel(tc, wxn, wyn, nb, tidy_ref, tidx_ref, w_ref,
             tile_ref, iyl_ref, ixl_ref, out_ref):
     """One (query, chunk, beam) step: score TC thetas x window offsets.
 
     The theta-chunk axis lives in the GRID (not a Python loop over lane
     slices): Mosaic v5e rejects broadcasts of vectors whose lane offset is
     non-zero ("Invalid input layout"), so every in-kernel slice must start
-    at lane 0 — one chunk per grid step guarantees that. ``w_ref`` is the
-    scalar-prefetch beam-weight array f32[QC, NB] in SMEM (a (1, 1)
-    BlockSpec over it is likewise rejected; prefetch refs are exempt and
-    indexable by scalars).
+    at lane 0 — one chunk per grid step guarantees that. The
+    scalar-prefetch operands (tile ids, beam weights) are FLAT 1-D arrays:
+    SMEM pads a multi-dim array's last dimension to 128 lanes, which blows
+    a [QC, NB, NCH] int32 array from 46 KB to 1.5 MB — past the 1 MB SMEM
+    ("Allocation would exceed memory ... space=smem", v5e). ``w_ref`` is
+    f32[QC*NB] indexed ``qi*nb + b`` (a (1, 1)-blocked tensor operand is
+    likewise rejected by Mosaic's block rules; prefetch refs are exempt).
     Transposed orientation throughout — per-theta coordinates live along
     LANES, map y/x along SUBLANES — so no in-kernel transposes are needed.
     """
@@ -104,7 +107,7 @@ def _kernel(tc, wxn, wyn, tidy_ref, tidx_ref, w_ref,
     tile = tile_ref[0, 0]                             # (128, 128) f32
     iyl = iyl_ref[0, 0, 0]                            # (1, LANE) int32
     ixl = ixl_ref[0, 0, 0]
-    beam_w = w_ref[qi, b]
+    beam_w = w_ref[qi * nb + b]
 
     y_ch = iyl[:, :tc]                                # (1, TC), lane off 0
     x_ch = ixl[:, :tc]
@@ -208,8 +211,9 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
 
     iyl = chunk_pad(iy4, tidy)
     ixl = chunk_pad(ix4, tidx)
-    tidy = jnp.transpose(tidy, (0, 2, 1))            # [QP, NB, NCH]
-    tidx = jnp.transpose(tidx, (0, 2, 1))
+    # Flat [QP * NB * NCH] prefetch layout (see _kernel docstring).
+    tidy = jnp.transpose(tidy, (0, 2, 1)).reshape(qp, -1)  # [QP, NB*NCH]
+    tidx = jnp.transpose(tidx, (0, 2, 1)).reshape(qp, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -217,8 +221,9 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
         in_specs=(
             [pl.BlockSpec(
                 (1, 1, TILE, TILE),
-                lambda qi, ch, bi, ty, tx, w: (ty[qi, bi, ch],
-                                               tx[qi, bi, ch], 0, 0),
+                lambda qi, ch, bi, ty, tx, w: (
+                    ty[(qi * nb + bi) * nch + ch],
+                    tx[(qi * nb + bi) * nch + ch], 0, 0),
                 memory_space=pltpu.VMEM),
              pl.BlockSpec((1, 1, 1, 1, LANE),
                           lambda qi, ch, bi, ty, tx, w: (qi, bi, ch, 0, 0),
@@ -231,7 +236,7 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
             memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, tc, wxn, wyn),
+        functools.partial(_kernel, tc, wxn, wyn, nb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q_chunk, nch, 8, rows),
                                        jnp.float32),
@@ -243,8 +248,8 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     outs = []
     for c0 in range(0, qp, q_chunk):
         s = slice(c0, c0 + q_chunk)
-        outs.append(call(tidy[s], tidx[s],
-                         beam_weight[s].astype(jnp.float32),
+        outs.append(call(tidy[s].reshape(-1), tidx[s].reshape(-1),
+                         beam_weight[s].astype(jnp.float32).reshape(-1),
                          tiles.tiles, iyl[s], ixl[s]))
     raw = jnp.concatenate(outs, axis=0)              # [QP, NCH, 8, TC*WYN]
 

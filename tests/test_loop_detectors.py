@@ -86,6 +86,8 @@ def test_two_stage_matches_grid_search_oracle(loop_scene):
         score_threshold=0.1, refine_blocks=512,
         num_total_beams=int(st.raw_beams[sid]), greedy_params=(),
         scan_store=st, scan_id=sid)
+    summary, exact = summary
+    assert exact
     assert summary is not None and bool(summary.pose_found)
     est = np.asarray(summary.estimated_pose)
     true_pose = graph.poses[node]

@@ -461,3 +461,38 @@ def test_frontend_threshold_rejects_garbage_scan(scene):
         num_total_beams=181,
         **COMMON)
     assert not bool(s.pose_found)
+
+
+def test_branch_bound_frontier_overflow_flag(scene):
+    """With an adversarially tiny frontier_cap on a random (unprunable)
+    map the top-k must drop live nodes and REPORT it; with a generous cap
+    the count is zero (the search is then exact like the reference DFS)."""
+    g, segs, beam_angles, vals = scene
+    # Random map: coarse windowed-max bounds sit near the global max
+    # everywhere, so threshold/lower-bound pruning cannot cut the
+    # frontier and the top-k quota is the only limiter.
+    rng = np.random.default_rng(7)
+    noisy = jnp.asarray(rng.uniform(0.0, 1.0, np.asarray(vals).shape),
+                        jnp.float32)
+    ranges, angles, valid = make_query(segs, beam_angles,
+                                       np.array([0.15, 0.1, 0.25]))
+    pyr = pyramid.build_pyramid(noisy, 3)
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.25)
+
+    def run(cap):
+        return matchers.branch_bound_match(
+            pyr, g, jnp.asarray([0.0, 0.0, 0.3], jnp.float32),
+            ranges, angles, valid,
+            scan_range_max=jnp.asarray(20.0, jnp.float32),
+            range_theta=jnp.asarray(0.25, jnp.float32),
+            normalized_score_threshold=jnp.asarray(0.01, jnp.float32),
+            node_height_max=3, win_x=16, win_y=16, win_theta_max=win_t,
+            frontier_cap=cap, num_total_beams=181, **COMMON)
+
+    tight = run(4)
+    loose = run(65536)
+    assert int(tight.frontier_overflow) > 0
+    assert int(loose.frontier_overflow) == 0
+    # The generous-cap search must score at least as well.
+    assert float(loose.normalized_score) >= \
+        float(tight.normalized_score) - 1e-6

@@ -115,3 +115,81 @@ def test_zero_weight_beams_do_not_contribute():
                                interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-4)
+
+
+def test_correlative_match_mxu_equals_brute_batch():
+    """correlative_match_mxu_batch == correlative_match_batch on a real
+    scene (identical lattice, tie order, cost/covariance)."""
+    import jax.numpy as jnp
+    from my_lidar_graph_slam_tpu.io import synth
+    from my_lidar_graph_slam_tpu.ops import grid as gridops
+    from my_lidar_graph_slam_tpu.ops import matchers, matchers_mxu, raycast
+
+    res = 0.05
+    segs = synth.default_world()
+    beam = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    nbcap = 192
+    g = gridops.empty(512, 512, res, center=np.zeros(2))
+    rng = np.random.default_rng(0)
+
+    def scan_at(p):
+        r = synth.raycast_segments(p[:2], p[2] + beam, segs, 12.0)
+        ranges = np.zeros(nbcap, np.float32)
+        angles = np.zeros(nbcap, np.float32)
+        valid = np.zeros(nbcap, bool)
+        ranges[:181] = r
+        angles[:181] = beam
+        valid[:181] = True
+        return ranges, angles, valid
+
+    for i in range(3):
+        p = np.concatenate([rng.uniform(-0.3, 0.3, 2),
+                            rng.uniform(-0.2, 0.2, 1)])
+        r, a, v = scan_at(p)
+        g = raycast.integrate_scan(
+            g, jnp.asarray(p, jnp.float32), jnp.asarray(r), jnp.asarray(a),
+            jnp.asarray(v), 0.01, 12.0, max_steps=256)
+
+    qn = 4
+    ips, rs, as_, vs = [], [], [], []
+    for i in range(qn):
+        p = np.concatenate([rng.uniform(-0.15, 0.15, 2),
+                            rng.uniform(-0.1, 0.1, 1)])
+        r, a, v = scan_at(p)
+        ips.append((p + rng.uniform(-0.05, 0.05, 3)).astype(np.float32))
+        rs.append(r)
+        as_.append(a)
+        vs.append(v)
+
+    vals = gridops.values(g)
+    win = 2
+    win_t = matchers.static_max_theta_window(res, 12.0, 0.3)
+    args = (
+        jnp.asarray(np.stack(rs)), jnp.asarray(np.stack(as_)),
+        jnp.asarray(np.stack(vs)),
+        jnp.zeros(qn, jnp.float32), jnp.full(qn, 12.0, jnp.float32),
+        jnp.zeros((qn, 3), jnp.float32),
+        jnp.asarray(12.0, jnp.float32), jnp.asarray(0.3, jnp.float32),
+        jnp.asarray(0.01, jnp.float32), jnp.asarray(12.0, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.full(qn, 181.0, jnp.float32),
+    )
+    ip = jnp.asarray(np.stack(ips))
+
+    brute = matchers.correlative_match_batch(
+        vals, g, ip, *args, win_x=win, win_y=win, win_theta_max=win_t)
+    tiles = matchers_mxu.make_tiles(vals)
+    mxu = matchers_mxu.correlative_match_mxu_batch(
+        vals, tiles, g, ip, *args, win_x=win, win_y=win,
+        win_theta_max=win_t, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(mxu.pose_found),
+                                  np.asarray(brute.pose_found))
+    np.testing.assert_allclose(np.asarray(mxu.estimated_pose),
+                               np.asarray(brute.estimated_pose), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mxu.normalized_score),
+                               np.asarray(brute.normalized_score),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mxu.covariance),
+                               np.asarray(brute.covariance),
+                               rtol=1e-3, atol=1e-6)

@@ -25,14 +25,24 @@ def main():
     p.add_argument("--step", type=float, default=0.1)
     p.add_argument("--max-range", type=float, default=12.0)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--world", choices=("default", "intel"),
+    p.add_argument("--world",
+                   choices=("default", "intel", "aces", "killian"),
                    default="default",
-                   help="'intel' = larger multi-loop intel.clf-like floor")
+                   help="'intel' = multi-loop intel.clf-like floor; "
+                        "'aces' = long-corridor building loop (BB frontend "
+                        "workload); 'killian' = mit-killian-scale multi-"
+                        "wing floor (thousands of scans, many submaps)")
     args = p.parse_args()
 
     if args.world == "intel":
         world = synth.intel_world()
         wps = synth.intel_waypoints(laps=args.laps)
+    elif args.world == "aces":
+        world = synth.aces_world()
+        wps = synth.aces_waypoints(laps=args.laps)
+    elif args.world == "killian":
+        world = synth.killian_world()
+        wps = synth.killian_waypoints(laps=args.laps)
     else:
         world = None
         wp1 = synth.loop_waypoints()
