@@ -760,11 +760,7 @@ def branch_bound_match(pyramid,
 
     n0 = fx.shape[0]
     cap = max(frontier_cap, n0)
-    pad = cap - n0
-    fx = jnp.pad(fx, (0, pad))
-    fy = jnp.pad(fy, (0, pad))
-    ft = jnp.pad(ft, (0, pad))
-    alive = jnp.pad(alive0, (0, pad))
+    alive = alive0
 
     def node_poses(xs, ys, ts):
         return jnp.stack([
@@ -785,6 +781,10 @@ def branch_bound_match(pyramid,
     overflow = jnp.asarray(0, jnp.int32)
 
     # Python loop over levels: node_height_max is static and small (<= 6).
+    # Frontier arrays are sized EXACTLY per level (n0, 4*n0, ... capped at
+    # `cap`) — early levels are small, so the map gathers (the dominant
+    # cost: one scalar read per (node, beam) per bound, ~10 ns each on
+    # v5e) track the true frontier size instead of always paying `cap`.
     for h in range(node_height_max, -1, -1):
         ub = eval_level(pyramid[h], fx, fy, ft, alive)      # upper bounds
         if h > 0:
@@ -792,33 +792,43 @@ def branch_bound_match(pyramid,
             best_lb = jnp.maximum(
                 jnp.max(lb), jnp.asarray(score_threshold, jnp.float32))
             keep = alive & (ub > best_lb) & (ub > score_threshold)
-            kquota = cap // 4
-            # Exactness accounting: live nodes beyond the top-k quota are
+            size = fx.shape[0]
+            kquota = min(size, cap // 4)
+            keep_count = keep.sum().astype(jnp.int32)
+            # Exactness accounting: live nodes beyond the quota are
             # dropped even though their upper bound exceeds the best known
             # lower bound — the reference DFS would have expanded them
             # (scan_matcher_branch_bound.cpp:122-138).
-            overflow = overflow + jnp.maximum(
-                keep.sum().astype(jnp.int32) - kquota, 0)
-            scores_masked = jnp.where(keep, ub, -jnp.inf)
-            order = jnp.argsort(-scores_masked)[:kquota]
-            sel_ok = jnp.take(keep, order)
-            sx = jnp.take(fx, order)
-            sy = jnp.take(fy, order)
-            st = jnp.take(ft, order)
+            overflow = overflow + jnp.maximum(keep_count - kquota, 0)
+            if kquota == size:
+                # Everything fits: split in place, no selection pass.
+                sel_ok = keep
+                sx, sy, st = fx, fy, ft
+            else:
+                # Compact the live nodes to the front (O(n) cumsum +
+                # scatter). In the exact regime (overflow == 0) this is
+                # equivalent to the former top-k-by-upper-bound selection
+                # — the quota is not binding, so BOTH keep exactly the
+                # live set — while costing far less than a 4096-wide sort
+                # (measured: the sort dominated the whole matcher).
+                pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+                slot = jnp.where(keep & (pos < kquota), pos, kquota)
+                order = jnp.zeros((kquota + 1,), jnp.int32).at[slot].set(
+                    jnp.arange(size, dtype=jnp.int32))[:kquota]
+                sel_ok = jnp.arange(kquota) < jnp.minimum(keep_count,
+                                                          kquota)
+                sx = jnp.take(fx, order)
+                sy = jnp.take(fy, order)
+                st = jnp.take(ft, order)
             w = 1 << (h - 1)
             child_dx = jnp.asarray([0, w, 0, w], jnp.int32)
             child_dy = jnp.asarray([0, 0, w, w], jnp.int32)
+            kq = sx.shape[0]
             fx = (sx[:, None] + child_dx[None, :]).reshape(-1)
             fy = (sy[:, None] + child_dy[None, :]).reshape(-1)
-            ft = jnp.broadcast_to(st[:, None], (kquota, 4)).reshape(-1)
+            ft = jnp.broadcast_to(st[:, None], (kq, 4)).reshape(-1)
             alive = jnp.broadcast_to(
-                sel_ok[:, None], (kquota, 4)).reshape(-1)
-            if 4 * kquota < cap:
-                short = cap - 4 * kquota
-                fx = jnp.pad(fx, (0, short))
-                fy = jnp.pad(fy, (0, short))
-                ft = jnp.pad(ft, (0, short))
-                alive = jnp.pad(alive, (0, short))
+                sel_ok[:, None], (kq, 4)).reshape(-1)
         else:
             leaf_best = jnp.argmax(ub)
             leaf_score = ub[leaf_best]

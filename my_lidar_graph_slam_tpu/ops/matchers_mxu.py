@@ -35,8 +35,61 @@ def make_tiles(value_map) -> cm.MxuTiles:
     return cm.make_mxu_tiles(value_map)
 
 
+_KW = 3  # kernel window radius used for wide-window block assembly
+
+
 def supported(win_x: int, win_y: int) -> bool:
-    return cm.theta_chunk_supported(win_x, win_y)
+    """Any window is supported: windows wider than the kernel's tile
+    budget are assembled from 7x7 blocks (see window_scores_mxu_wide)."""
+    return cm.theta_chunk_supported(min(win_x, _KW), min(win_y, _KW))
+
+
+def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
+                           win_x: int, win_y: int,
+                           theta_chunk: int = cm.DEF_THETA_CHUNK,
+                           q_chunk: int = 16,
+                           interpret: bool = False):
+    """Full (2*win_x+1) x (2*win_y+1) window scores for ANY window size.
+
+    The Pallas kernel's tile-overlap budget caps its window at 7x7
+    offsets; larger windows (e.g. the loop detector's +-2 m = 41 cells)
+    are brute-forced as a grid of 7x7 BLOCKS: shifting the base hit cells
+    by a constant block offset preserves the per-chunk arc-drift bound,
+    so every block is just another kernel run. Cost is linear in window
+    area with the kernel's tiny per-step constant (~0.33 us marginal on
+    v5e) — this is what replaces branch-and-bound pruning on the TPU,
+    where data-dependent control flow costs more than the brute FLOPs.
+    """
+    if win_x <= _KW and win_y <= _KW:
+        return cm.window_scores_mxu(tiles, ix, iy, beam_weight,
+                                    win_x, win_y, theta_chunk=theta_chunk,
+                                    q_chunk=q_chunk, interpret=interpret)
+    kw = 2 * _KW + 1
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    nbx = -(-wxn // kw)
+    nby = -(-wyn // kw)
+    q, nt, nb = ix.shape
+
+    # Fold the window blocks into the QUERY axis so the whole wide sweep
+    # is a handful of big kernel launches instead of nbx*nby small ones
+    # (each launch costs ~8 ms of fixed overhead on v5e — at 36 blocks
+    # that fixed cost dominated the sweep).
+    offs = [(-win_x + _KW + kw * kx, -win_y + _KW + kw * ky)
+            for kx in range(nbx) for ky in range(nby)]
+    ixb = jnp.concatenate([ix + cx for cx, _ in offs], axis=0)
+    iyb = jnp.concatenate([iy + cy for _, cy in offs], axis=0)
+    wb = jnp.tile(beam_weight, (nbx * nby, 1))
+    qc = min(max(q_chunk, 1) * nbx * nby, ixb.shape[0], 128)
+    s = cm.window_scores_mxu(
+        tiles, ixb, iyb, wb, _KW, _KW,
+        theta_chunk=theta_chunk, q_chunk=qc,
+        interpret=interpret)                           # [B*Q, NT, 7, 7]
+    s = s.reshape(nbx, nby, q, nt, kw, kw)
+    # Assemble: block (kx, ky) holds offsets (cx + d, cy + e).
+    s = jnp.transpose(s, (2, 3, 0, 4, 1, 5)).reshape(
+        q, nt, nbx * kw, nby * kw)
+    return s[..., :wxn, :wyn]
 
 
 @functools.partial(
@@ -108,7 +161,7 @@ def correlative_match_mxu_batch(value_map,
     ix = jnp.floor((hx - grid.origin[0]) / res).astype(jnp.int32)
     iy = jnp.floor((hy - grid.origin[1]) / res).astype(jnp.int32)
 
-    scores = cm.window_scores_mxu(
+    scores = window_scores_mxu_wide(
         tiles, ix, iy, wgt, win_x, win_y,
         theta_chunk=theta_chunk, q_chunk=q_chunk,
         interpret=interpret)                          # [Q, NT, WXN, WYN]

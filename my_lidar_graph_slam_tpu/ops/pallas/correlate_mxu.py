@@ -178,6 +178,13 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     wyn = 2 * win_y + 1
     rows = tc * wyn
 
+    # SMEM budget: the scalar-prefetch operands (tidy + tidx i32 flats of
+    # q_chunk*NB*NCH each, plus the q_chunk*NB f32 weights) must fit the
+    # 1 MB SMEM alongside control state. Clamp q_chunk automatically.
+    smem_budget = 700_000
+    qc_lim = max(1, smem_budget // (nb * (8 * nch + 4)))
+    q_chunk = max(1, min(q_chunk, qc_lim))
+
     qp = -(-q // q_chunk) * q_chunk
     if ntp != nt or qp != q:
         ix = jnp.pad(ix, ((0, qp - q), (0, ntp - nt), (0, 0)), mode="edge")

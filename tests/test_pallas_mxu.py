@@ -193,3 +193,24 @@ def test_correlative_match_mxu_equals_brute_batch():
     np.testing.assert_allclose(np.asarray(mxu.covariance),
                                np.asarray(brute.covariance),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_wide_window_scores_match_oracle():
+    """window_scores_mxu_wide (7x7-block assembly for big windows — the
+    loop-detection path) == the window_scores oracle."""
+    from my_lidar_graph_slam_tpu.ops import matchers_mxu
+    rng = np.random.default_rng(5)
+    h, w = 220, 240
+    vm = jnp.asarray(rng.random((h, w)), jnp.float32)
+    tiles = cm.make_mxu_tiles(vm)
+    q, nt, nb = 2, 25, 9
+    ix, iy = _arc_indices(rng, q, nt, nb, h, w, margin=45)
+    wgt = jnp.asarray(rng.random((q, nb)), jnp.float32)
+    for win in (5, 10):
+        ref = scoring.window_scores(
+            vm, ix, iy, wgt[:, None, :] * jnp.ones((q, nt, nb)), win, win)
+        got = matchers_mxu.window_scores_mxu_wide(
+            tiles, ix, iy, wgt, win, win, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-4)
