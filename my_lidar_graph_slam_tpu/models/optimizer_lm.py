@@ -200,6 +200,10 @@ def chain_factor(diag, sub):
             [diag, jnp.broadcast_to(eye, (npow - n, 3, 3))])
         sub = jnp.concatenate([sub, jnp.zeros((npow - n, 3, 3),
                                               diag.dtype)])
+    # NOTE: every matmul below must run at full f32 precision (_mm, not
+    # the @ operator): TPU's default matmul precision is bf16, and the
+    # cyclic-reduction recurrence amplifies the rounding over log2(N)
+    # levels into NaNs at N >= ~1k (observed on v5e; CPU f32 was fine).
     levels = []
     d, a = diag, sub
     while d.shape[0] > 1:
@@ -211,12 +215,12 @@ def chain_factor(diag, sub):
             jnp.concatenate([a[2::2], z])[:m // 2], -1, -2)
         a_even = a[0::2]
         c_even = jnp.swapaxes(a[1::2], -1, -2)
-        adinv = a_even @ jnp.concatenate([z, dinv_odd])[:m // 2]
-        cdinv = c_even @ dinv_odd
+        adinv = _mm(a_even, jnp.concatenate([z, dinv_odd])[:m // 2])
+        cdinv = _mm(c_even, dinv_odd)
         a_odd_sh = jnp.concatenate([z, a_odd])[:m // 2]
         c_odd_sh = jnp.concatenate([z, c_odd])[:m // 2]
-        d_next = d[0::2] - adinv @ c_odd_sh - cdinv @ a_odd
-        a_next = -(adinv @ a_odd_sh)
+        d_next = d[0::2] - _mm(adinv, c_odd_sh) - _mm(cdinv, a_odd)
+        a_next = -_mm(adinv, a_odd_sh)
         levels.append((dinv_odd, a_odd, c_odd, adinv, cdinv))
         d, a = d_next, a_next
     return tuple(levels), jnp.linalg.inv(d[0]), npow
@@ -235,7 +239,7 @@ def chain_solve(levels, dinv_final, npow, b):
         b_odd_sh = jnp.concatenate([z, b_odd])[:m // 2]
         stack.append(b_odd)
         b = b[0::2] - _mv(adinv, b_odd_sh) - _mv(cdinv, b_odd)
-    x = (dinv_final @ b[0])[None]
+    x = _mv(dinv_final, b[0])[None]
     for (dinv_odd, a_odd, c_odd, _, _), b_odd in zip(reversed(levels),
                                                      reversed(stack)):
         x_next = jnp.concatenate([x[1:], jnp.zeros((1, 3), x.dtype)])
