@@ -136,6 +136,7 @@ class LocalMap:
     node_idx_max: int
     finished: bool = False
     pyramid: Optional[jnp.ndarray] = None  # cached coarse-map stack
+    mxu_tiles: Optional[object] = None     # cached MXU tile array
     # Node poses the current grid contents were integrated at (one row per
     # node in [node_idx_min, node_idx_max]); lets after_loop_closure skip
     # rebuilding maps whose optimized poses barely moved.
@@ -251,6 +252,7 @@ class GridMapBuilder:
                                   lm.grid.resolution)
         lm.node_idx_max = node_idx
         lm.pyramid = None
+        lm.mxu_tiles = None
         row = np.asarray(robot_pose, np.float64)[None, :]
         lm.built_poses = row if lm.built_poses is None else \
             np.concatenate([lm.built_poses, row])
@@ -433,6 +435,7 @@ class GridMapBuilder:
             lm.grid = self._construct_from_nodes(
                 g, graph, lm.node_idx_min, lm.node_idx_max)
             lm.pyramid = None
+            lm.mxu_tiles = None
             lm.built_poses = np.asarray(new_poses, np.float64).copy()
             metrics.counters("LocalMapRebuilds").increment()
         self._update_latest_map(graph)
@@ -476,3 +479,12 @@ class GridMapBuilder:
             lm.pyramid = pyrops.build_pyramid(
                 gridops.values(lm.grid), height_max)
         return lm.pyramid
+
+    def mxu_tiles_for(self, lm: LocalMap):
+        """Lazily build + cache the overlapped MXU tile array for the
+        gather-free loop-detection sweep (the Pallas analog of the
+        pyramid cache above)."""
+        if lm.mxu_tiles is None:
+            from my_lidar_graph_slam_tpu.ops import matchers_mxu
+            lm.mxu_tiles = matchers_mxu.make_tiles(gridops.values(lm.grid))
+        return lm.mxu_tiles

@@ -115,6 +115,30 @@ def test_loop_detector_correlative_detects(loop_scene):
         assert np.all(np.isfinite(r.covariance))
 
 
+def test_loop_detector_bb_mxu_parity(loop_scene):
+    """The MXU exhaustive detection path == the batched-BB path: same
+    detections, same poses (both are exact over the configured window;
+    loop_detector_branch_bound.cpp:62-89 semantics)."""
+    builder, graph = loop_scene
+    kw = dict(score_threshold=0.45, node_height_max=5, range_x=1.0,
+              range_y=1.0, range_theta=0.25, scan_range_max=12.0,
+              usable_range_max=12.0)
+    bb = lc.LoopDetectorBranchBound(use_mxu=False, **kw)
+    mxu = lc.LoopDetectorBranchBound(use_mxu=True, mxu_interpret=True, **kw)
+    cand = [_candidate(builder, graph)]
+    r_bb = bb.detect(graph, builder, cand)
+    r_mxu = mxu.detect(graph, builder, cand)
+    assert len(r_bb) >= 1
+    assert len(r_bb) == len(r_mxu)
+    for a, b in zip(r_bb, r_mxu):
+        assert a.end_node_idx == b.end_node_idx
+        assert a.start_node_idx == b.start_node_idx
+        np.testing.assert_allclose(a.relative_pose, b.relative_pose,
+                                   atol=1e-5)
+        np.testing.assert_allclose(a.covariance, b.covariance,
+                                   rtol=1e-3, atol=1e-7)
+
+
 def test_loop_detector_grid_search_detects(loop_scene):
     builder, graph = loop_scene
     det = lc.LoopDetectorGridSearch(
