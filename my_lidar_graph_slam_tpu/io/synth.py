@@ -332,6 +332,28 @@ class SimConfig:
     odom_noise_theta: float = 0.0015
     step: float = 0.1                    # meters between simulated scans
     seed: int = 0
+    # Adversarial odometry models (round 4, SURVEY §4 row (d)): the
+    # defaults above are an idealized unbiased-noise encoder; real
+    # platforms show multiplicative scale error (wheel-diameter
+    # mismatch), heavy systematic heading drift, and discrete wheel-slip
+    # events. See ADVERSARIAL_PROFILES for three named settings.
+    odom_scale: float = 1.0              # multiplicative translation error
+    odom_slip_prob: float = 0.0          # per-step P(slip event)
+    odom_slip_mag: float = 0.0           # meters of phantom translation
+
+
+# Three adversarial odometry profiles; ATE per profile is recorded in
+# BASELINE.md (VERDICT r3 weak #8 / next-round item 10).
+ADVERSARIAL_PROFILES = {
+    # 3% wheel-scale error + strong heading bias: odometry consistently
+    # overshoots and curls.
+    "bias": dict(odom_scale=1.03, odom_theta_drift_per_m=0.012),
+    # 5x the default systematic drift on every axis.
+    "drift": dict(odom_drift_per_m=0.02, odom_theta_drift_per_m=0.02),
+    # Discrete slip events: 5% of steps add 25 cm of phantom forward
+    # translation the robot never made.
+    "slip": dict(odom_slip_prob=0.05, odom_slip_mag=0.25),
+}
 
 
 def simulate(world: np.ndarray | None = None,
@@ -365,11 +387,15 @@ def simulate(world: np.ndarray | None = None,
         if t > 0:
             rel = se2.inverse_compound_np(poses[t - 1], true_pose)
             d = float(np.hypot(rel[0], rel[1]))
-            rel[0] += cfg.odom_drift_per_m * d + rng.normal(
+            rel[0] = cfg.odom_scale * rel[0] + cfg.odom_drift_per_m * d + \
+                rng.normal(0.0, cfg.odom_noise_xy)
+            rel[1] = cfg.odom_scale * rel[1] + rng.normal(
                 0.0, cfg.odom_noise_xy)
-            rel[1] += rng.normal(0.0, cfg.odom_noise_xy)
             rel[2] += cfg.odom_theta_drift_per_m * d + rng.normal(
                 0.0, cfg.odom_noise_theta)
+            if cfg.odom_slip_prob > 0.0 and \
+                    rng.random() < cfg.odom_slip_prob:
+                rel[0] += cfg.odom_slip_mag
             odom = se2.compound_np(odom, rel)
 
         scans.append(RawScan(

@@ -135,8 +135,18 @@ class LoopDetectorBranchBound:
     sharded program (``distributed.branch_bound_fanout``): candidate nodes
     are padded to the mesh size with all-invalid scans and fanned out one
     (or more) per device — replacing the reference's sequential per-node
-    loop (loop_detector_branch_bound.cpp:62-89). Results are identical to
-    the sequential path.
+    loop (loop_detector_branch_bound.cpp:62-89). The fanout results are
+    identical to the single-device batched-BB path.
+
+    On a TPU backend (``use_mxu=None`` auto, or ``use_mxu=True``) the
+    single-device path instead runs the exhaustive Pallas MXU sweep
+    (``_detect_mxu``), which scores with the same pixel-accurate beam gate
+    as the BB path and honors the configured window EXACTLY — it can
+    differ from BB only where BB's coarse lattice rounds the window UP to
+    2^height blocks (children are not clipped,
+    scan_matcher_branch_bound.cpp:81-88) and the true optimum lies in that
+    rounding margin outside +-range/2. See ``_detect_mxu`` for the
+    measured speedups that justify the auto default.
     """
 
     score_threshold: float = 0.6
@@ -301,7 +311,8 @@ class LoopDetectorBranchBound:
                 jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
                 win_x=win_x, win_y=win_y, win_theta_max=win_t,
                 greedy_params=self.greedy_params,
-                interpret=self.mxu_interpret)
+                interpret=self.mxu_interpret,
+                score_gate="pixel_accurate")
             found = np.asarray(out.pose_found)
             for row, node_idx in enumerate(nodes):
                 if not bool(found[row]):

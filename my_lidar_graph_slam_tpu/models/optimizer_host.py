@@ -11,8 +11,11 @@ Two roles:
 
  * the measured HOST BASELINE in ``bench.py`` (what "must not regress vs
    reference" is judged against, BASELINE.json metric), and
- * a production fallback for small graphs where a ~ms factorization on the
-   host beats a device dispatch through the tunnel (~37 ms round trip).
+ * the production solver for small graphs: ``slam.Backend._optimize``
+   dispatches here below ``host_solver_max_nodes`` (default 2048 — the
+   measured v5e crossover, BENCH_r03: host 27 ms vs device 51 ms at
+   N=1k), where a ~ms factorization on the host beats a device dispatch
+   through the tunnel (~37 ms round trip).
 
 The math matches ``optimizer_lm.optimize`` (same errors/Jacobians/lambda
 schedule); float64 throughout like the reference's doubles.

@@ -37,6 +37,70 @@ def _set_row(full, i, one):
     return out
 
 
+def _pack_summary(summary, q):
+    """Pack a MatchSummary into one [Q, 16] array so the host pays ONE
+    transfer round trip per dispatch (~37 ms each through the tunnel)."""
+    return jnp.concatenate([
+        summary.estimated_pose,                            # 0:3
+        summary.covariance.reshape(q, 9),                  # 3:12
+        summary.normalized_score[:, None],                 # 12
+        summary.normalized_cost[:, None],                  # 13
+        summary.pose_found[:, None].astype(jnp.float32),   # 14
+        jnp.ones((q, 1), jnp.float32),                     # 15: exact
+    ], axis=1)
+
+
+def _unpack_summary(packed, initial_poses):
+    return matchers.MatchSummary(
+        pose_found=packed[:, 14] > 0.5,
+        normalized_cost=packed[:, 13],
+        normalized_score=packed[:, 12],
+        initial_pose=np.asarray(initial_poses, np.float32),
+        estimated_pose=packed[:, 0:3],
+        covariance=packed[:, 3:12].reshape(-1, 3, 3),
+        frontier_overflow=np.zeros(packed.shape[0], np.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "cost_type",
+                     "greedy_params", "interpret"))
+def _fused_mxu_match(log_odds, observed, origin, resolution,
+                     initial_poses, ranges, angles, valid,
+                     scan_min_range, scan_max_range, rel_sensor_poses,
+                     scan_range_max, range_theta,
+                     usable_range_min, usable_range_max,
+                     normalized_score_threshold, num_total_beams,
+                     win_x: int, win_y: int, win_theta_max: int,
+                     cost_type: str, greedy_params: tuple,
+                     interpret: bool):
+    """One-dispatch gather-free frontend match: occupancy values + MXU
+    tile build + full-window Pallas sweep fused into a single program.
+
+    The latest map changes every keyframe, so the tile array cannot be
+    cached like the loop detector's per-local-map tiles
+    (map_builder.mxu_tiles_for) — fusing the tile build into the match
+    dispatch keeps the frontend at ONE tunnel round trip per keyframe,
+    same as the pruned path it replaces. Exact by construction (brute
+    force over the window), so there is no certificate/fallback dispatch.
+    """
+    from my_lidar_graph_slam_tpu.ops import matchers_mxu
+
+    grid = gridops.GridMap(log_odds, observed, origin, resolution)
+    vals = gridops.values(grid)
+    tiles = matchers_mxu.make_tiles(vals)
+    summary = matchers_mxu.correlative_match_mxu_batch(
+        vals, tiles, grid, initial_poses, ranges, angles, valid,
+        scan_min_range, scan_max_range, rel_sensor_poses,
+        scan_range_max, range_theta, usable_range_min, usable_range_max,
+        normalized_score_threshold, num_total_beams,
+        win_x=win_x, win_y=win_y, win_theta_max=win_theta_max,
+        cost_type=cost_type, greedy_params=greedy_params,
+        interpret=interpret, score_gate="correlative")
+    return _pack_summary(summary, initial_poses.shape[0])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "top_groups",
@@ -104,11 +168,20 @@ class CorrelativeMatcher:
     """ScanMatcherRealTimeCorrelative config
     (launcher_settings_default.json:42-50).
 
-    Both entry points dispatch the single-program batched kernel
-    (:func:`matchers.correlative_match_batch`): ``match`` runs one query as
-    a Q=1 batch; ``match_batch`` scores many scans against one map in ONE
-    device dispatch (the deployment shape of pipelined replay and of the
-    loop-closure candidate fan-out).
+    Both entry points dispatch a single-program batched kernel: ``match``
+    runs one query as a Q=1 batch; ``match_batch`` scores many scans
+    against one map in ONE device dispatch (the deployment shape of
+    pipelined replay and of the loop-closure candidate fan-out).
+
+    Kernel selection (``use_mxu``): ``None`` auto-selects the gather-free
+    Pallas MXU full-window sweep (``ops/matchers_mxu``) whenever the
+    backend can run it and the window fits the kernel budget — exact by
+    construction, no certificate/fallback dispatch; otherwise (and on
+    CPU) the pruned bound-and-refine gather path runs with brute-force
+    re-runs of certificate misses. ``mxu_interpret`` forces the Pallas
+    kernel's interpret mode (CPU tests). The per-match choice is recorded
+    in the ``FrontendMxuMatches`` / ``FrontendPrunedMatches`` counters so
+    a launcher run can prove which kernel served the frontend.
     """
 
     low_resolution: int = 5      # kept for config parity; the TPU kernel
@@ -122,18 +195,75 @@ class CorrelativeMatcher:
     cost_type: str = "greedy_endpoint"
     greedy_params: tuple = DEFAULT_GREEDY_PARAMS
     last_exact_fraction: float = 1.0  # certificate hit rate of last batch
+    use_mxu: object = None       # None = auto, True/False = force
+    mxu_interpret: bool = False
 
-    def match(self, grid: gridops.GridMap, store, scan_id: int,
-              initial_pose) -> matchers.MatchSummary:
-        """Single-query frontend match: ONE fused device dispatch + ONE
-        packed host transfer (values + bound stack + pruned match); falls
-        back to the brute batch kernel when the exactness certificate
-        fails (rare)."""
-        res = float(grid.resolution)
+    def _window(self, res: float):
         win_x = int(np.ceil(0.5 * self.range_x / res))
         win_y = int(np.ceil(0.5 * self.range_y / res))
         win_t = matchers.static_max_theta_window(
             res, self.scan_range_max, self.range_theta)
+        return win_x, win_y, win_t
+
+    def _mxu_enabled(self, win_x: int, win_y: int) -> bool:
+        from my_lidar_graph_slam_tpu.ops import matchers_mxu
+        from my_lidar_graph_slam_tpu.ops.pallas import correlate_mxu
+        if not matchers_mxu.supported(win_x, win_y):
+            return False
+        if self.use_mxu is not None:
+            return bool(self.use_mxu)
+        if self.mxu_interpret:
+            return True
+        return correlate_mxu.available()
+
+    def _count(self, name: str, n: int = 1):
+        from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+        MetricManager.instance().counters(name).increment(n)
+
+    def _match_mxu(self, grid, store, scan_ids, initial_poses,
+                   win_x, win_y, win_t) -> matchers.MatchSummary:
+        """MXU path for any Q: ONE fused dispatch (values + tile build +
+        Pallas sweep), ONE packed transfer; exact over the window."""
+        ids = np.asarray(scan_ids)
+        nb = int(-(-max(int(store.raw_beams[ids].max()), 1) // 64) * 64)
+        nb = min(nb, store.beam_capacity)
+        packed = np.asarray(_fused_mxu_match(
+            grid.log_odds, grid.observed, grid.origin, grid.resolution,
+            jnp.asarray(np.asarray(initial_poses), jnp.float32),
+            jnp.asarray(store.ranges[ids][:, :nb]),
+            jnp.asarray(store.angles[ids][:, :nb]),
+            jnp.asarray(store.valid[ids][:, :nb]),
+            jnp.asarray(store.min_range[ids]),
+            jnp.asarray(store.max_range[ids]),
+            jnp.asarray(store.rel_sensor_pose[ids]),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(store.raw_beams[ids], jnp.float32),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            cost_type=self.cost_type, greedy_params=self.greedy_params,
+            interpret=self.mxu_interpret))
+        self.last_exact_fraction = 1.0
+        self._count("FrontendMxuMatches", len(ids))
+        return _unpack_summary(packed, initial_poses)
+
+    def match(self, grid: gridops.GridMap, store, scan_id: int,
+              initial_pose) -> matchers.MatchSummary:
+        """Single-query frontend match: ONE fused device dispatch + ONE
+        packed host transfer. MXU path when enabled; otherwise the pruned
+        gather path, falling back to the brute batch kernel when the
+        exactness certificate fails (rare)."""
+        res = float(grid.resolution)
+        win_x, win_y, win_t = self._window(res)
+        if self._mxu_enabled(win_x, win_y):
+            out = self._match_mxu(
+                grid, store, [scan_id],
+                np.asarray(initial_pose, np.float32)[None, :],
+                win_x, win_y, win_t)
+            return matchers.MatchSummary(*(leaf[0] for leaf in out))
+        self._count("FrontendPrunedMatches")
         nb = int(-(-max(int(store.raw_beams[scan_id]), 1) // 64) * 64)
         nb = min(nb, store.beam_capacity)
         sid = slice(scan_id, scan_id + 1)
@@ -186,10 +316,12 @@ class CorrelativeMatcher:
         ``self.last_exact_fraction`` records the certificate hit rate.
         """
         res = float(grid.resolution)
-        win_x = int(np.ceil(0.5 * self.range_x / res))
-        win_y = int(np.ceil(0.5 * self.range_y / res))
-        win_t = matchers.static_max_theta_window(
-            res, self.scan_range_max, self.range_theta)
+        win_x, win_y, win_t = self._window(res)
+        if self._mxu_enabled(win_x, win_y):
+            return self._match_mxu(grid, store, scan_ids,
+                                   np.asarray(initial_poses, np.float32),
+                                   win_x, win_y, win_t)
+        self._count("FrontendPrunedMatches", len(scan_ids))
         ids = np.asarray(scan_ids)
         vals = gridops.values(grid)
 

@@ -91,8 +91,13 @@ class Frontend:
         if self.process_count == 0:
             slam.append_first_node(cfg.initial_pose, scan)
         else:
-            latest_pose = slam.graph.latest_pose()
-            latest_map = slam.builder.latest_map
+            # Under the lock like GetLatestPoseAndMap (lidar_graph_slam
+            # .cpp:90-100): the backend writes poses[n-1] during
+            # after_loop_closure, and a torn 3-double read would seed the
+            # match with a corrupt initial pose.
+            with slam._lock:
+                latest_pose = slam.graph.latest_pose()
+                latest_map = slam.builder.latest_map
             rel_from_update = se2.inverse_compound_np(
                 self.last_map_update_odom, odom_pose)
             initial_pose = se2.compound_np(latest_pose, rel_from_update)
@@ -130,29 +135,44 @@ class Backend:
     """Loop closure + optimization worker
     (lidar_graph_slam_backend.cpp:21-60).
 
-    With ``mesh`` set, the pose-graph solve runs edge-sharded across the
-    mesh (``distributed.optimize_sharded``: per-edge terms local, one psum
-    per reduction) instead of single-device, and the detector — if it
+    With ``mesh`` set, the pose-graph solve runs NODE-BLOCK-sharded across
+    the mesh (``distributed.optimize_sharded_nodes``: contiguous pose
+    blocks per device, O(boundary) collectives per CG step instead of the
+    edge-sharded solver's O(N) pose psum), and the detector — if it
     supports a mesh (``LoopDetectorBranchBound``) — fans candidate nodes
-    out across devices. Results are identical to the single-device path.
+    out across devices. Results match the single-device path (parity:
+    tests/test_parallel.py::test_optimize_sharded_nodes_matches_single_device).
+
+    Without a mesh, graphs below ``host_solver_max_nodes`` solve on the
+    HOST (scipy sparse LM, the Eigen-equivalent direct path) — measured
+    crossover on v5e: host 27 ms vs device 51 ms at N=1k, device 372 ms
+    vs host 438 ms at N=8k (BENCH_r03), so the device PCG takes over at
+    ~2k nodes.
     """
 
     def __init__(self, searcher: lc.LoopSearcherNearest, detector,
-                 lm_config: optimizer_lm.LMConfig, mesh=None):
+                 lm_config: optimizer_lm.LMConfig, mesh=None,
+                 host_solver_max_nodes: int = 2048):
         self.searcher = searcher
         self.detector = detector
         self.lm_config = lm_config
         self.mesh = mesh
+        self.host_solver_max_nodes = host_solver_max_nodes
         self.num_loop_closures = 0
         if mesh is not None and hasattr(detector, "mesh"):
             detector.mesh = mesh
 
     def _optimize(self, snapshot):
-        if self.mesh is None:
-            return optimizer_lm.optimize(snapshot, self.lm_config)
-        from my_lidar_graph_slam_tpu.parallel import distributed
-        return distributed.optimize_sharded(snapshot, self.lm_config,
-                                            self.mesh)
+        if self.mesh is not None:
+            from my_lidar_graph_slam_tpu.parallel import distributed
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            sharded = distributed.partition_graph_by_nodes(snapshot, n_dev)
+            return distributed.optimize_sharded_nodes(
+                sharded, self.lm_config, self.mesh)
+        if snapshot.num_nodes < self.host_solver_max_nodes:
+            from my_lidar_graph_slam_tpu.models import optimizer_host
+            return optimizer_host.optimize_host(snapshot, self.lm_config)
+        return optimizer_lm.optimize(snapshot, self.lm_config)
 
     def run_once(self, slam: "LidarGraphSlam") -> int:
         """One backend pass; returns the number of accepted loop edges."""
@@ -161,7 +181,11 @@ class Backend:
         from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
         metrics = MetricManager.instance()
 
-        candidates = self.searcher.search(slam.graph, slam.builder)
+        # Candidate search reads the live graph/builder arrays; take it
+        # under the lock like the reference's GetLoopSearchHint
+        # (lidar_graph_slam.cpp:103-152) — pure NumPy, microseconds.
+        with slam._lock:
+            candidates = self.searcher.search(slam.graph, slam.builder)
         if not candidates:
             return 0
         t0 = _time.time()
@@ -177,9 +201,15 @@ class Backend:
 
         n_dev = 1 if self.mesh is None else \
             int(np.prod(list(self.mesh.shape.values())))
-        snapshot = slam.graph.snapshot(
-            edge_cap=_round_multiple(slam.graph.num_edges, n_dev))
-        optimized_count = slam.graph.num_nodes
+        # Snapshot + node count must be ATOMIC (the reference snapshots
+        # under its mutex, lidar_graph_slam.cpp:52-65): reading num_nodes
+        # after an unlocked snapshot let a concurrent frontend append slip
+        # in between, and write_back_poses then stamped a zero-padded
+        # snapshot row over the real node — the round-3 flaky-ATE race.
+        with slam._lock:
+            snapshot = slam.graph.snapshot(
+                edge_cap=_round_multiple(slam.graph.num_edges, n_dev))
+            optimized_count = slam.graph.num_nodes
         t0 = _time.time()
         res = self._optimize(snapshot)
         poses_opt = np.asarray(res.poses, np.float64)
@@ -232,6 +262,8 @@ class LidarGraphSlam:
         self._backend_thread: Optional[threading.Thread] = None
         self._notify = threading.Event()
         self._stop = False
+        self._busy = False
+        self._idle_cond = threading.Condition()
 
     # -- frontend-facing API -------------------------------------------------
 
@@ -317,16 +349,27 @@ class LidarGraphSlam:
         def run():
             while not self._stop:
                 self._notify.wait()
+                # Busy is raised BEFORE the notification is cleared so
+                # wait_for_backend never observes (not notified, not busy)
+                # between wake-up and work start.
+                with self._idle_cond:
+                    self._busy = True
                 self._notify.clear()
                 if self._stop:
                     break
                 self.backend.run_once(self)
+                with self._idle_cond:
+                    self._busy = False
+                    self._idle_cond.notify_all()
             # Drain pass: the reference's condvar loop drops notifications
             # that arrive while the worker is busy and exits immediately on
             # stop (lidar_graph_slam.cpp:447-456); a final pass over the
             # complete graph makes StopBackend deterministic — loop
             # closures signaled near the end of a run are not lost.
             self.backend.run_once(self)
+            with self._idle_cond:
+                self._busy = False
+                self._idle_cond.notify_all()
 
         self._backend_thread = threading.Thread(target=run, daemon=True)
         self._backend_thread.start()
@@ -346,3 +389,21 @@ class LidarGraphSlam:
             self._notify.set()
         else:
             self.backend.run_once(self)
+
+    def wait_for_backend(self, poll_s: float = 0.02):
+        """Block until the backend worker has consumed every pending
+        notification and finished the resulting pass.
+
+        Determinism hook (no reference counterpart — the reference's
+        condvar loop drops notifications that arrive while the worker is
+        busy, lidar_graph_slam.cpp:447-456): calling this after each
+        ``notify_backend`` makes loop closures land at exact process
+        counts, so threaded-mode results are reproducible regardless of
+        host load. Tests use it to pin result quality; production callers
+        normally never should.
+        """
+        if self._backend_thread is None:
+            return
+        with self._idle_cond:
+            while self._notify.is_set() or self._busy:
+                self._idle_cond.wait(poll_s)

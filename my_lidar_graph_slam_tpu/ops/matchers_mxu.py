@@ -95,7 +95,8 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
-                     "q_chunk", "cost_type", "greedy_params", "interpret"))
+                     "q_chunk", "cost_type", "greedy_params", "interpret",
+                     "score_gate"))
 def correlative_match_mxu_batch(value_map,
                                 tiles: cm.MxuTiles,
                                 grid: gridops.GridMap,
@@ -113,7 +114,8 @@ def correlative_match_mxu_batch(value_map,
                                 q_chunk: int = 16,
                                 cost_type: str = "greedy_endpoint",
                                 greedy_params: tuple = (),
-                                interpret: bool = False
+                                interpret: bool = False,
+                                score_gate: str = "correlative"
                                 ) -> matchers.MatchSummary:
     """Q full-window correlative matches in ONE dispatch, gather-free.
 
@@ -123,6 +125,23 @@ def correlative_match_mxu_batch(value_map,
     reference's coarse map). ``value_map`` is still needed for the final
     cost/covariance evaluation at the single best pose (a handful of
     gathers — negligible).
+
+    ``score_gate`` selects the beam gate used for SCORING:
+
+    * ``"correlative"`` — only ``r >= scan_range_max`` beams are excluded
+      (ScanMatcherRealTimeCorrelative's projection gate,
+      scan_matcher_real_time_correlative.cpp:189-193). Use for the
+      frontend matcher.
+    * ``"pixel_accurate"`` — the usable-range/per-scan-range gate of
+      ScorePixelAccurate (score_function_pixel_accurate.cpp:27-41), the
+      gate the BB matcher scores with — use when standing in for
+      ``branch_bound_match_batch`` (the loop detector). Beams at or
+      beyond ``scan_range_max`` are additionally excluded regardless of
+      the usable bounds: the theta lattice step guarantees <= 1 cell of
+      endpoint drift only up to ``scan_range_max``, so longer beams would
+      break the kernel's tile-overlap contract (the reference would score
+      them only under a degenerate ``usable_range_max > scan_range_max``
+      config).
     """
     q, nb = ranges.shape
     n_total = jnp.asarray(num_total_beams, jnp.float32)
@@ -139,7 +158,13 @@ def correlative_match_mxu_batch(value_map,
     step_t = matchers.search_step_theta(res, max_range)          # [Q]
     win_theta_act = jnp.ceil(0.5 * range_theta / step_t).astype(jnp.int32)
 
-    proj_mask = valid & (ranges < scan_range_max)
+    if score_gate == "pixel_accurate":
+        proj_mask = matchers._range_gate(
+            valid, ranges, usable_range_min, usable_range_max,
+            scan_min_range[:, None], scan_max_range[:, None]) & \
+            (ranges < scan_range_max)
+    else:
+        proj_mask = valid & (ranges < scan_range_max)
     wgt = proj_mask.astype(jnp.float32)                          # [Q, NB]
 
     nt = 2 * win_theta_max + 1

@@ -74,3 +74,26 @@ def test_pack_scans_padding():
     assert batch.ranges.shape == (2, 256)
     assert batch.valid[:, :181].all()
     assert not batch.valid[:, 181:].any()
+
+
+def test_adversarial_odometry_profiles():
+    """The bias/drift/slip odometry models (synth.ADVERSARIAL_PROFILES,
+    round 4) must each degrade RAW odometry substantially versus the
+    default idealized noise — otherwise the recorded per-profile ATE
+    table measures nothing."""
+    import numpy as np
+
+    from my_lidar_graph_slam_tpu.io import synth
+
+    def raw_odom_err(profile):
+        cfg = synth.SimConfig(step=0.25, max_range=12.0, seed=4,
+                              **(synth.ADVERSARIAL_PROFILES.get(profile)
+                                 if profile else {}))
+        scans, gt = synth.simulate(config=cfg)
+        odom = np.stack([s.odom_pose for s in scans])
+        return float(np.linalg.norm(odom[:, :2] - gt[:, :2], axis=1).max())
+
+    base = raw_odom_err(None)
+    for name in ("bias", "drift", "slip"):
+        err = raw_odom_err(name)
+        assert err > 1.5 * base, (name, err, base)

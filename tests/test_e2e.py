@@ -228,10 +228,7 @@ def test_mesh_backend_matches_sequential():
     assert checked["detect"] >= 3 and checked["solve"] >= 3
 
 
-def test_threaded_backend_runs_loop_closure():
-    """The reference's two-thread mode (StartBackend, lidar_graph_slam.cpp:
-    399-456): backend work happens on the worker thread, loop closures
-    land, and the result quality matches the synchronous mode."""
+def _threaded_scene():
     from my_lidar_graph_slam_tpu.models.loop_closure import (
         LoopDetectorBranchBound)
 
@@ -247,6 +244,41 @@ def test_threaded_backend_runs_loop_closure():
     s = build_slam(detector=det, travel_thresh=8.0, initial_pose=gt[0])
     s._threaded = True
     s.frontend.config.update_threshold_angle = 0.3
+    return s, scans, gt
+
+
+def test_threaded_backend_runs_loop_closure():
+    """The reference's two-thread mode (StartBackend, lidar_graph_slam.cpp:
+    399-456) with DETERMINISTIC stepping: ``wait_for_backend`` after every
+    scan makes each loop closure land at an exact process count, so the
+    quality bound holds regardless of host load (round 3's free-running
+    variant of this test was flaky: under a loaded host the worker skipped
+    coalesced notifications, closures landed late, and the late
+    single-shot solve left ATE at ~2 m — a legitimately timing-dependent
+    quantity this test previously over-constrained)."""
+    s, scans, gt = _threaded_scene()
+
+    s.start_backend()
+    pg = []
+    for scan, tp in zip(scans, gt):
+        if s.process_scan(scan, scan.odom_pose):
+            pg.append(tp)
+        s.wait_for_backend()
+    s.stop_backend()
+    assert s._backend_thread is None
+
+    assert s.backend.num_loop_closures >= 1
+    assert s.graph.num_edges > s.graph.num_nodes - 1
+    assert ate_rmse(s.graph.node_poses(), np.asarray(pg)) < 0.5
+
+
+def test_threaded_backend_free_running():
+    """Free-running two-thread mode (no stepping): closures may land at
+    load-dependent times, so only structural invariants are asserted —
+    the worker joins cleanly, at least one closure lands (the stop-time
+    drain pass guarantees a final complete-graph attempt), every pose is
+    finite, and odometry edges stay chained."""
+    s, scans, gt = _threaded_scene()
 
     s.start_backend()
     pg = []
@@ -258,4 +290,9 @@ def test_threaded_backend_runs_loop_closure():
 
     assert s.backend.num_loop_closures >= 1
     assert s.graph.num_edges > s.graph.num_nodes - 1
-    assert ate_rmse(s.graph.node_poses(), np.asarray(pg)) < 0.5
+    assert np.isfinite(s.graph.node_poses()).all()
+    # Every odometry edge must connect adjacent nodes (torn appends would
+    # break the chain).
+    e = s.graph.num_edges
+    odo = s.graph.edge_is_odom[:e]
+    assert (s.graph.edge_j[:e][odo] == s.graph.edge_i[:e][odo] + 1).all()

@@ -139,6 +139,39 @@ def test_loop_detector_bb_mxu_parity(loop_scene):
                                    rtol=1e-3, atol=1e-7)
 
 
+def test_loop_detector_bb_mxu_parity_usable_gate(loop_scene):
+    """BB <-> MXU parity in the regime where the beam gates DIVERGE unless
+    the MXU sweep applies ScorePixelAccurate's usable-range gate
+    (score_function_pixel_accurate.cpp:27-41): usable_range_max well below
+    scan_range_max, and a nonzero usable_range_min, so the scene's long
+    beams (up to 12 m, incl. no-return beams at max range) and short beams
+    are gated OUT of scoring by the BB path. Locks in the round-4 fix of
+    the MXU sweep's scoring gate."""
+    builder, graph = loop_scene
+    st = builder.scans
+    sid = int(graph.scan_ids[graph.num_nodes - 1])
+    r = st.ranges[sid][st.valid[sid]]
+    # The scene must actually exercise the divergent regime.
+    assert (r > 9.0).any(), "scene has no beams beyond usable_range_max"
+    kw = dict(score_threshold=0.3, node_height_max=5, range_x=1.0,
+              range_y=1.0, range_theta=0.25, scan_range_max=12.0,
+              usable_range_min=0.5, usable_range_max=9.0)
+    bb = lc.LoopDetectorBranchBound(use_mxu=False, **kw)
+    mxu = lc.LoopDetectorBranchBound(use_mxu=True, mxu_interpret=True, **kw)
+    cand = [_candidate(builder, graph)]
+    r_bb = bb.detect(graph, builder, cand)
+    r_mxu = mxu.detect(graph, builder, cand)
+    assert len(r_bb) >= 1
+    assert len(r_bb) == len(r_mxu)
+    for a, b in zip(r_bb, r_mxu):
+        assert a.end_node_idx == b.end_node_idx
+        assert a.start_node_idx == b.start_node_idx
+        np.testing.assert_allclose(a.relative_pose, b.relative_pose,
+                                   atol=1e-5)
+        np.testing.assert_allclose(a.covariance, b.covariance,
+                                   rtol=1e-3, atol=1e-7)
+
+
 def test_loop_detector_grid_search_detects(loop_scene):
     builder, graph = loop_scene
     det = lc.LoopDetectorGridSearch(

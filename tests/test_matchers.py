@@ -390,6 +390,73 @@ def test_correlative_matcher_wrapper_equals_brute(scene):
                                rtol=1e-4)
 
 
+def test_correlative_matcher_mxu_equals_brute(scene):
+    """CorrelativeMatcher with the MXU kernel forced (interpret mode on
+    CPU) == the brute batch oracle at the frontend's default window — the
+    production TPU frontend path (round 4), scan_matcher_real_time
+    _correlative.cpp:50-145 semantics."""
+    from my_lidar_graph_slam_tpu.models import map_builder as mb
+    from my_lidar_graph_slam_tpu.models import scan_matchers as sm
+    from my_lidar_graph_slam_tpu.sensor.data import RawScan
+    from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+
+    g, segs, beam_angles, vals = scene
+    store = mb.ScanStore(beam_capacity=NB)
+    rng = np.random.default_rng(17)
+    init = np.array([0.0, 0.0, 0.3])
+    q = 4
+    ids = []
+    for i in range(q):
+        tp = init + np.concatenate(
+            [rng.uniform(-0.05, 0.05, 2), rng.uniform(-0.05, 0.05, 1)])
+        r = synth.raycast_segments(tp[:2], tp[2] + beam_angles,
+                                   synth.default_world(), 20.0)
+        ids.append(store.append(RawScan(
+            sensor_id="FLASER", timestamp=float(i),
+            odom_pose=np.zeros(3), velocity=np.zeros(3),
+            rel_sensor_pose=np.zeros(3, np.float32),
+            min_range=0.0, max_range=20.0,
+            min_angle=float(beam_angles[0]), max_angle=float(beam_angles[-1]),
+            angles=beam_angles.astype(np.float32),
+            ranges=r.astype(np.float32))))
+
+    m = sm.CorrelativeMatcher(use_mxu=True, mxu_interpret=True)  # win = 2
+    c0 = MetricManager.instance().counters("FrontendMxuMatches").value
+    batched = m.match_batch(g, store, ids, np.tile(init, (q, 1)))
+    single = m.match(g, store, ids[0], init)
+    assert MetricManager.instance().counters(
+        "FrontendMxuMatches").value == c0 + q + 1
+    assert m.last_exact_fraction == 1.0
+
+    win_t = matchers.static_max_theta_window(RES, 20.0, 0.5)
+    idx = np.asarray(ids)
+    brute = matchers.correlative_match_batch(
+        gridops.values(g), g,
+        jnp.asarray(np.tile(init, (q, 1)), jnp.float32),
+        jnp.asarray(store.ranges[idx]), jnp.asarray(store.angles[idx]),
+        jnp.asarray(store.valid[idx]), jnp.asarray(store.min_range[idx]),
+        jnp.asarray(store.max_range[idx]),
+        jnp.asarray(store.rel_sensor_pose[idx]),
+        jnp.asarray(20.0, jnp.float32), jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0.01, jnp.float32), jnp.asarray(20.0, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(store.raw_beams[idx], jnp.float32),
+        win_x=2, win_y=2, win_theta_max=win_t,
+        greedy_params=sm.DEFAULT_GREEDY_PARAMS)
+
+    np.testing.assert_allclose(np.asarray(batched.estimated_pose),
+                               np.asarray(brute.estimated_pose), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batched.normalized_score),
+                               np.asarray(brute.normalized_score), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(batched.covariance),
+                               np.asarray(brute.covariance),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(single.estimated_pose),
+                               np.asarray(brute.estimated_pose[0]),
+                               atol=1e-5)
+    assert bool(single.pose_found)
+
+
 def test_branch_bound_batch_matches_single(scene):
     """branch_bound_match_batch (the one-dispatch loop-detection path,
     loop_detector_branch_bound.cpp:62-89) must equal per-node
@@ -496,3 +563,18 @@ def test_branch_bound_frontier_overflow_flag(scene):
     # The generous-cap search must score at least as well.
     assert float(loose.normalized_score) >= \
         float(tight.normalized_score) - 1e-6
+
+    # Overflow-regime contract (round 4): the degraded result is still a
+    # genuinely EVALUATED leaf — its reported score equals the score of
+    # the returned pose, recomputed independently — not an unexpanded
+    # bound. (The exhaustive paths — grid search / the MXU sweep — score
+    # every leaf and so bound the degradation from above: that is the
+    # loose-cap >= tight-cap assertion.)
+    score_mask = np.asarray(valid) & (np.asarray(ranges) > 0.01) & \
+        (np.asarray(ranges) < 20.0)
+    resc = scoring.score_poses(
+        noisy, g,
+        jnp.asarray(np.asarray(tight.estimated_pose)[None], jnp.float32),
+        ranges, angles, jnp.asarray(score_mask), 181)
+    np.testing.assert_allclose(float(tight.normalized_score) * 181,
+                               float(resc.score[0]), rtol=1e-4)
