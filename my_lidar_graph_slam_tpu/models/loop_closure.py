@@ -274,50 +274,78 @@ class LoopDetectorBranchBound:
         cfg = builder.config
         win_x, win_y, win_t = self._window_params(cfg)
         st = builder.scans
+        if not candidates:
+            return results
+
+        # ONE dispatch for ALL candidates (round 4): candidate maps are
+        # same-shape dense tensors, so their cached tile arrays stack and
+        # every per-map sweep runs inside one jitted program — simultaneous
+        # candidates no longer serialize through the ~37 ms tunnel round
+        # trip (the reference loops per query, loop_detector_branch_bound
+        # .cpp:38-89). M and K are bucketed so recompiles stay rare.
+        m = _bucket_batch(len(candidates))
+        k = _bucket_batch(max(len(c.node_indices) for c in candidates))
+        nb = 1
         for cand in candidates:
+            ids = [int(graph.scan_ids[n]) for n in cand.node_indices]
+            nb = max(nb, int(st.raw_beams[ids].max()))
+        nb = min(int(-(-nb // 64) * 64), st.beam_capacity)
+
+        value_maps, tiles, origins = [], [], []
+        poses = np.zeros((m, k, 3), np.float32)
+        ranges = np.zeros((m, k, nb), np.float32)
+        angles = np.zeros((m, k, nb), np.float32)
+        valid = np.zeros((m, k, nb), bool)
+        rmin = np.zeros((m, k), np.float32)
+        rmax = np.zeros((m, k), np.float32)
+        rel = np.zeros((m, k, 3), np.float32)
+        beams = np.ones((m, k), np.float32)
+        for ci, cand in enumerate(candidates):
             lm = builder.local_maps[cand.local_map_idx]
             assert lm.finished
-            tiles = builder.mxu_tiles_for(lm)
-            anchor_pose = graph.poses[cand.local_map_node_idx]
-
+            value_maps.append(gridops.values(lm.grid))
+            tiles.append(builder.mxu_tiles_for(lm).tiles)
+            origins.append(np.asarray(lm.grid.origin, np.float32))
             nodes = list(cand.node_indices)
-            k = _bucket_batch(len(nodes))
             ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
-            idsp = np.concatenate([ids, np.zeros(k - len(nodes), ids.dtype)])
-            poses = np.zeros((k, 3), np.float32)
-            poses[:len(nodes)] = graph.poses[nodes]
-            valid = st.valid[idsp].copy()
-            valid[len(nodes):] = False  # padded rows score 0 -> not found
+            poses[ci, :len(nodes)] = graph.poses[nodes]
+            ranges[ci, :len(nodes)] = st.ranges[ids][:, :nb]
+            angles[ci, :len(nodes)] = st.angles[ids][:, :nb]
+            valid[ci, :len(nodes)] = st.valid[ids][:, :nb]
+            rmin[ci, :len(nodes)] = st.min_range[ids]
+            rmax[ci, :len(nodes)] = st.max_range[ids]
+            rel[ci, :len(nodes)] = st.rel_sensor_pose[ids]
+            beams[ci, :len(nodes)] = np.maximum(st.raw_beams[ids], 1)
+        for ci in range(len(candidates), m):  # padded maps: reuse map 0,
+            value_maps.append(value_maps[0])  # all-invalid scans
+            tiles.append(tiles[0])
+            origins.append(origins[0])
 
-            # Beam-width bucket: the kernel grid is per beam, so width is
-            # dispatch cost (scans are front-packed in the store).
-            nb = int(-(-max(int(st.raw_beams[idsp].max()), 1) // 64) * 64)
-            nb = min(nb, st.beam_capacity)
-
-            out = matchers_mxu.correlative_match_mxu_batch(
-                gridops.values(lm.grid), tiles, lm.grid,
-                jnp.asarray(poses),
-                jnp.asarray(st.ranges[idsp][:, :nb]),
-                jnp.asarray(st.angles[idsp][:, :nb]),
-                jnp.asarray(valid[:, :nb]),
-                jnp.asarray(st.min_range[idsp]),
-                jnp.asarray(st.max_range[idsp]),
-                jnp.asarray(st.rel_sensor_pose[idsp]),
-                jnp.asarray(self.scan_range_max, jnp.float32),
-                jnp.asarray(self.range_theta, jnp.float32),
-                jnp.asarray(self.usable_range_min, jnp.float32),
-                jnp.asarray(self.usable_range_max, jnp.float32),
-                jnp.asarray(self.score_threshold, jnp.float32),
-                jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
-                win_x=win_x, win_y=win_y, win_theta_max=win_t,
-                greedy_params=self.greedy_params,
-                interpret=self.mxu_interpret,
-                score_gate="pixel_accurate")
-            found = np.asarray(out.pose_found)
-            for row, node_idx in enumerate(nodes):
-                if not bool(found[row]):
+        out = matchers_mxu.correlative_match_mxu_multi(
+            jnp.stack(value_maps), jnp.stack(tiles),
+            jnp.asarray(np.stack(origins)),
+            jnp.asarray(cfg.resolution, jnp.float32),
+            jnp.asarray(poses), jnp.asarray(ranges), jnp.asarray(angles),
+            jnp.asarray(valid), jnp.asarray(rmin), jnp.asarray(rmax),
+            jnp.asarray(rel),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(self.score_threshold, jnp.float32),
+            jnp.asarray(beams),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            greedy_params=self.greedy_params,
+            interpret=self.mxu_interpret,
+            score_gate="pixel_accurate")
+        found = np.asarray(out.pose_found)
+        for ci, cand in enumerate(candidates):
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+            for row, node_idx in enumerate(cand.node_indices):
+                if not bool(found[ci, row]):
                     continue  # silent skip (loop_detector_branch_bound.cpp:74)
-                one = jax.tree_util.tree_map(lambda x, r=row: x[r], out)
+                one = jax.tree_util.tree_map(
+                    lambda x, c=ci, r=row: x[c][r], out)
                 self._emit(results, graph, cand, node_idx, anchor_pose, one)
         return results
 

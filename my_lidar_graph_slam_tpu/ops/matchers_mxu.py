@@ -143,6 +143,22 @@ def correlative_match_mxu_batch(value_map,
       them only under a degenerate ``usable_range_max > scan_range_max``
       config).
     """
+    return _match_one_map(
+        value_map, tiles, grid, initial_poses, ranges, angles, valid,
+        scan_min_range, scan_max_range, rel_sensor_poses, scan_range_max,
+        range_theta, usable_range_min, usable_range_max,
+        normalized_score_threshold, num_total_beams,
+        win_x, win_y, win_theta_max, theta_chunk, q_chunk,
+        cost_type, greedy_params, interpret, score_gate)
+
+
+def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
+                   valid, scan_min_range, scan_max_range, rel_sensor_poses,
+                   scan_range_max, range_theta, usable_range_min,
+                   usable_range_max, normalized_score_threshold,
+                   num_total_beams, win_x, win_y, win_theta_max,
+                   theta_chunk, q_chunk, cost_type, greedy_params,
+                   interpret, score_gate) -> matchers.MatchSummary:
     q, nb = ranges.shape
     n_total = jnp.asarray(num_total_beams, jnp.float32)
 
@@ -232,3 +248,62 @@ def correlative_match_mxu_batch(value_map,
         covariance=cov,
         frontier_overflow=jnp.zeros((q,), jnp.int32),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
+                     "q_chunk", "cost_type", "greedy_params", "interpret",
+                     "score_gate"))
+def correlative_match_mxu_multi(value_maps,
+                                tiles_stack,
+                                origins,
+                                resolution,
+                                initial_poses,
+                                ranges, angles, valid,
+                                scan_min_range, scan_max_range,
+                                rel_sensor_poses,
+                                scan_range_max,
+                                range_theta,
+                                usable_range_min, usable_range_max,
+                                normalized_score_threshold,
+                                num_total_beams,
+                                win_x: int, win_y: int, win_theta_max: int,
+                                theta_chunk: int = cm.DEF_THETA_CHUNK,
+                                q_chunk: int = 16,
+                                cost_type: str = "greedy_endpoint",
+                                greedy_params: tuple = (),
+                                interpret: bool = False,
+                                score_gate: str = "pixel_accurate"
+                                ) -> matchers.MatchSummary:
+    """M candidate maps x K nodes matched in ONE device dispatch.
+
+    Multi-candidate loop detection (VERDICT r3 item 7): the reference's
+    detector — and round 3's ``_detect_mxu`` — dispatched once per
+    candidate map (loop_detector_branch_bound.cpp:38-89), serializing
+    simultaneous candidates through the ~37 ms tunnel round trip. Here
+    every per-map sweep runs inside one jitted program over stacked
+    same-shape local maps (``value_maps`` f32[M, H, W], ``tiles_stack``
+    f32[M, NTY, NTX, 128, 128] from the per-map caches, ``origins``
+    f32[M, 2]); batch axes of the scan arguments are [M, K, ...].
+    Returns a MatchSummary with leading axes [M, K].
+
+    Per-map kernels stay separate (same Pallas launches as M single-map
+    calls) — the win is collapsing host round trips, which dominate at
+    SLAM rates.
+    """
+    m = value_maps.shape[0]
+    outs = []
+    for k in range(m):
+        grid = gridops.GridMap(value_maps[k], value_maps[k] > 0.0,
+                               origins[k], resolution)
+        outs.append(_match_one_map(
+            value_maps[k], cm.MxuTiles(tiles_stack[k]), grid,
+            initial_poses[k], ranges[k], angles[k], valid[k],
+            scan_min_range[k], scan_max_range[k], rel_sensor_poses[k],
+            scan_range_max, range_theta, usable_range_min,
+            usable_range_max, normalized_score_threshold,
+            num_total_beams[k], win_x, win_y, win_theta_max,
+            theta_chunk, q_chunk, cost_type, greedy_params, interpret,
+            score_gate))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)

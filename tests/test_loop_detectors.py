@@ -172,6 +172,42 @@ def test_loop_detector_bb_mxu_parity_usable_gate(loop_scene):
                                    rtol=1e-3, atol=1e-7)
 
 
+def test_loop_detector_mxu_multi_candidate_equals_sequential(loop_scene):
+    """TWO simultaneous candidates against DIFFERENT local maps run as ONE
+    batched dispatch (round 4, correlative_match_mxu_multi) and must equal
+    running the same MXU detector on each candidate separately — the
+    batching must not change any result. (BB equality is NOT asserted
+    here: on an ill-conditioned corridor candidate BB's unclipped coarse
+    lattice legitimately finds an offset outside the configured window —
+    the documented window-rounding divergence.)"""
+    builder, graph = loop_scene
+    assert len([m for m in builder.local_maps if m.finished]) >= 2
+    last = graph.num_nodes - 1
+    cands = [
+        lc.LoopCandidate(node_indices=[last - 1, last],
+                         local_map_idx=0, local_map_node_idx=1),
+        lc.LoopCandidate(node_indices=[last - 2, last - 1, last],
+                         local_map_idx=1,
+                         local_map_node_idx=builder.local_maps[1]
+                         .node_idx_min),
+    ]
+    kw = dict(score_threshold=0.3, node_height_max=5, range_x=0.6,
+              range_y=0.6, range_theta=0.2, scan_range_max=12.0,
+              usable_range_max=12.0)
+    mxu = lc.LoopDetectorBranchBound(use_mxu=True, mxu_interpret=True, **kw)
+    r_batch = mxu.detect(graph, builder, cands)
+    r_seq = [r for c in cands for r in mxu.detect(graph, builder, [c])]
+    assert len(r_batch) >= 2  # both maps must yield detections
+    assert len(r_batch) == len(r_seq)
+    for a, b in zip(r_seq, r_batch):
+        assert (a.start_node_idx, a.end_node_idx) == \
+            (b.start_node_idx, b.end_node_idx)
+        np.testing.assert_allclose(a.relative_pose, b.relative_pose,
+                                   atol=1e-5)
+        np.testing.assert_allclose(a.covariance, b.covariance,
+                                   rtol=1e-3, atol=1e-7)
+
+
 def test_loop_detector_grid_search_detects(loop_scene):
     builder, graph = loop_scene
     det = lc.LoopDetectorGridSearch(
