@@ -82,7 +82,7 @@ def make_mxu_tiles(value_map) -> MxuTiles:
     return MxuTiles(_make_tiles(value_map, h, w))
 
 
-def _kernel(tc, wxn, wyn, nb, tidy_ref, tidx_ref, w_ref,
+def _kernel(tc, wxn, wyn, nb, mxu_dtype, tidy_ref, tidx_ref, w_ref,
             tile_ref, iyl_ref, ixl_ref, out_ref):
     """One (query, chunk, beam) step: score TC thetas x window offsets.
 
@@ -115,12 +115,16 @@ def _kernel(tc, wxn, wyn, nb, tidy_ref, tidx_ref, w_ref,
     # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
     ohy = jnp.concatenate(
-        [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(jnp.float32)
+        [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(mxu_dtype)
          for dy in range(-(wyn // 2), wyn // 2 + 1)],
         axis=1)                                       # (128, TC*WYN)
     # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
+    # mxu_dtype=bfloat16 runs the matmul at the MXU's native rate (the
+    # one-hot operand is exact in bf16; only the tile values round, <=
+    # 2^-9 relative per read) with f32 accumulation; float32 is the exact
+    # path.
     a = jax.lax.dot_general(
-        tile, ohy, (((0,), (0,)), ((), ())),
+        tile.astype(mxu_dtype), ohy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (128, TC*WYN)
 
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
@@ -144,12 +148,13 @@ def _kernel(tc, wxn, wyn, nb, tidy_ref, tidx_ref, w_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "theta_chunk", "q_chunk",
-                     "interpret"))
+                     "interpret", "mxu_dtype"))
 def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
                       win_x: int, win_y: int,
                       theta_chunk: int = DEF_THETA_CHUNK,
                       q_chunk: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      mxu_dtype=jnp.float32):
     """Scores over all (theta, dx, dy) candidates, gather-free.
 
     ``ix``/``iy``: int32[Q, NT, NB] base hit cells in RAW map coordinates
@@ -243,7 +248,7 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
             memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, tc, wxn, wyn, nb),
+        functools.partial(_kernel, tc, wxn, wyn, nb, mxu_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q_chunk, nch, 8, rows),
                                        jnp.float32),

@@ -32,6 +32,9 @@ def main():
                         "'aces' = long-corridor building loop (BB frontend "
                         "workload); 'killian' = mit-killian-scale multi-"
                         "wing floor (thousands of scans, many submaps)")
+    p.add_argument("--profile", choices=tuple(synth.ADVERSARIAL_PROFILES),
+                   default=None,
+                   help="adversarial odometry model (bias / drift / slip)")
     args = p.parse_args()
 
     if args.world == "intel":
@@ -50,8 +53,10 @@ def main():
         for _ in range(args.laps - 1):
             wps = np.concatenate([wps, wp1[1:]], axis=0)
 
+    extra = synth.ADVERSARIAL_PROFILES.get(args.profile, {}) \
+        if args.profile else {}
     cfg = synth.SimConfig(step=args.step, max_range=args.max_range,
-                          seed=args.seed)
+                          seed=args.seed, **extra)
     scans, gt = synth.simulate(world=world, waypoints=wps, config=cfg)
     synth.write_carmen_log(args.prefix + ".clf", scans,
                            max_range=cfg.max_range)
