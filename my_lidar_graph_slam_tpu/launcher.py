@@ -33,13 +33,19 @@ def run(log_path: str, settings_path: str, output: str,
         save_pyramid_maps: bool = False,
         multihost: bool = False,
         mesh_devices: int = 0,
-        profile_dir: str = "") -> dict:
+        profile_dir: str = "",
+        platform: str = "") -> dict:
     """Run the full pipeline; returns summary stats.
 
     ``multihost`` initializes jax.distributed (coordinator from the
     standard env vars) and spans the backend mesh over every process's
     devices; ``mesh_devices`` > 0 builds a single-process mesh over the
-    first N local devices instead."""
+    first N local devices instead. ``platform`` forces a JAX backend
+    (e.g. "cpu") — the env var alone does not stick here because a
+    sitecustomize hook imports jax before this module runs."""
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
     mesh = None
     if multihost:
         from my_lidar_graph_slam_tpu.parallel import multihost as mh
@@ -177,6 +183,8 @@ def main():
     parser.add_argument("--profile", default="",
                         help="write a JAX profiler trace of the scan loop "
                              "to this directory (TensorBoard-loadable)")
+    parser.add_argument("--platform", default="",
+                        help="force a JAX backend (e.g. cpu)")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -189,7 +197,8 @@ def main():
         save_pyramid_maps=args.save_pyramid_maps,
         multihost=args.multihost,
         mesh_devices=args.mesh_devices,
-        profile_dir=args.profile)
+        profile_dir=args.profile,
+        platform=args.platform)
 
 
 if __name__ == "__main__":

@@ -321,6 +321,15 @@ class LoopDetectorBranchBound:
             tiles.append(tiles[0])
             origins.append(origins[0])
 
+        # Emit the batch-padding waste (VERDICT r3 weak #7): padded (map,
+        # node) rows do full kernel work and score 0.
+        from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+        real = sum(len(c.node_indices) for c in candidates)
+        MetricManager.instance().counters(
+            "LoopDetectMxuQueries").increment(real)
+        MetricManager.instance().counters(
+            "LoopDetectMxuPaddedQueries").increment(m * k - real)
+
         out = matchers_mxu.correlative_match_mxu_multi(
             jnp.stack(value_maps), jnp.stack(tiles),
             jnp.asarray(np.stack(origins)),
