@@ -263,6 +263,10 @@ def bench_tpu(g, queries):
             "queries_per_dispatch_best": best_q,
             "dispatch_shape_curve": {str(k): v for k, v in curve.items()},
             "mxu_flops_per_query": flops_per_query,
+            "mxu_padding_ratio_q1": matchers_mxu.wide_padding_ratio(
+                1, nt, nb_k, win, win),
+            "mxu_padding_ratio_best_q": matchers_mxu.wide_padding_ratio(
+                best_q, nt, nb_k, win, win, q_chunk=64),
             "mxu_achieved_tflops": round(tflops, 2),
             # v5e f32 matmul peak assumed ~1/4 of the 197 TF bf16 MXU peak.
             "mxu_mfu_vs_49tf_f32_peak": round(tflops / 49.2, 4),

@@ -92,6 +92,31 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
     return s[..., :wxn, :wyn]
 
 
+def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
+                       theta_chunk: int = cm.DEF_THETA_CHUNK,
+                       q_chunk: int = 16) -> float:
+    """Fraction of EXTRA kernel work done on padding for a wide-window
+    sweep (VERDICT r3 weak #7): the folded (block x query) axis pads to a
+    q_chunk multiple and the theta axis to a theta_chunk multiple; padded
+    rows/lanes run full grid steps that score nothing. 0.0 = no waste."""
+    if win_x <= _KW and win_y <= _KW:
+        nq = q
+        tc = theta_chunk
+        qc = min(q_chunk, q)
+    else:
+        kw = 2 * _KW + 1
+        nq = q * (-(-(2 * win_x + 1) // kw)) * (-(-(2 * win_y + 1) // kw))
+        tc = theta_chunk
+        qc = min(max(q_chunk, 1) * (nq // max(q, 1)), nq, 128)
+    nch = -(-nt // tc)
+    # SMEM clamp replicated from window_scores_mxu.
+    qc = max(1, min(qc, 700_000 // (nb * (8 * nch + 4))))
+    qp = -(-nq // qc) * qc
+    useful = q * nt * nb if win_x <= _KW and win_y <= _KW else nq * nt * nb
+    total = qp * (nch * tc) * nb
+    return round(total / useful - 1.0, 4)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",

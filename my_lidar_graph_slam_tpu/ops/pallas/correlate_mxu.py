@@ -188,7 +188,9 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     # 1 MB SMEM alongside control state. Clamp q_chunk automatically.
     smem_budget = 700_000
     qc_lim = max(1, smem_budget // (nb * (8 * nch + 4)))
-    q_chunk = max(1, min(q_chunk, qc_lim))
+    # Clamp by Q too: padding a Q=1 frontend match out to a 16-query
+    # chunk ran 16x the useful kernel work per keyframe.
+    q_chunk = max(1, min(q_chunk, qc_lim, q))
 
     qp = -(-q // q_chunk) * q_chunk
     if ntp != nt or qp != q:
