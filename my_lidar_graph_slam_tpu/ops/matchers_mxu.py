@@ -110,7 +110,7 @@ def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
         qc = min(max(q_chunk, 1) * (nq // max(q, 1)), nq, 128)
     nch = -(-nt // tc)
     # SMEM clamp replicated from window_scores_mxu.
-    qc = max(1, min(qc, 700_000 // (nb * (8 * nch + 4))))
+    qc = max(1, min(qc, 700_000 // (nb * (4 * nch + 4))))
     qp = -(-nq // qc) * qc
     useful = q * nt * nb if win_x <= _KW and win_y <= _KW else nq * nt * nb
     total = qp * (nch * tc) * nb

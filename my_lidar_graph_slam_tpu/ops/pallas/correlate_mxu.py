@@ -82,7 +82,7 @@ def make_mxu_tiles(value_map) -> MxuTiles:
     return MxuTiles(_make_tiles(value_map, h, w))
 
 
-def _kernel(tc, wxn, wyn, nb, mxu_dtype, tidy_ref, tidx_ref, w_ref,
+def _kernel(tc, wxn, wyn, nb, mxu_dtype, tid_ref, w_ref,
             tile_ref, iyl_ref, ixl_ref, out_ref):
     """One (query, chunk, beam) step: score TC thetas x window offsets.
 
@@ -98,8 +98,13 @@ def _kernel(tc, wxn, wyn, nb, mxu_dtype, tidy_ref, tidx_ref, w_ref,
     likewise rejected by Mosaic's block rules; prefetch refs are exempt).
     Transposed orientation throughout — per-theta coordinates live along
     LANES, map y/x along SUBLANES — so no in-kernel transposes are needed.
+    The tile ids are PACKED (tidy * ntx + tidx) into one flat i32 array —
+    halving the SMEM prefetch footprint doubles the q_chunk the 1 MB SMEM
+    admits, which halves the number of kernel launches at large Q (each
+    launch carries ~8 ms of fixed overhead on v5e); the index map unpacks
+    with // and %.
     """
-    del tidy_ref, tidx_ref  # consumed by the index maps
+    del tid_ref  # consumed by the index maps
     qi = pl.program_id(0)
     b = pl.program_id(2)
     rows = tc * wyn
@@ -183,11 +188,11 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     wyn = 2 * win_y + 1
     rows = tc * wyn
 
-    # SMEM budget: the scalar-prefetch operands (tidy + tidx i32 flats of
-    # q_chunk*NB*NCH each, plus the q_chunk*NB f32 weights) must fit the
-    # 1 MB SMEM alongside control state. Clamp q_chunk automatically.
+    # SMEM budget: the scalar-prefetch operands (one PACKED tile-id i32
+    # flat of q_chunk*NB*NCH, plus the q_chunk*NB f32 weights) must fit
+    # the 1 MB SMEM alongside control state. Clamp q_chunk automatically.
     smem_budget = 700_000
-    qc_lim = max(1, smem_budget // (nb * (8 * nch + 4)))
+    qc_lim = max(1, smem_budget // (nb * (4 * nch + 4)))
     # Clamp by Q too: padding a Q=1 frontend match out to a 16-query
     # chunk ran 16x the useful kernel work per keyframe.
     q_chunk = max(1, min(q_chunk, qc_lim, q))
@@ -225,28 +230,27 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
 
     iyl = chunk_pad(iy4, tidy)
     ixl = chunk_pad(ix4, tidx)
-    # Flat [QP * NB * NCH] prefetch layout (see _kernel docstring).
-    tidy = jnp.transpose(tidy, (0, 2, 1)).reshape(qp, -1)  # [QP, NB*NCH]
-    tidx = jnp.transpose(tidx, (0, 2, 1)).reshape(qp, -1)
+    # Flat PACKED [QP * NB * NCH] prefetch layout (see _kernel docstring).
+    tid = jnp.transpose(tidy * ntx + tidx, (0, 2, 1)).reshape(qp, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(q_chunk, nch, nb),
         in_specs=(
             [pl.BlockSpec(
                 (1, 1, TILE, TILE),
-                lambda qi, ch, bi, ty, tx, w: (
-                    ty[(qi * nb + bi) * nch + ch],
-                    tx[(qi * nb + bi) * nch + ch], 0, 0),
+                lambda qi, ch, bi, t, w: (
+                    t[(qi * nb + bi) * nch + ch] // ntx,
+                    t[(qi * nb + bi) * nch + ch] % ntx, 0, 0),
                 memory_space=pltpu.VMEM),
              pl.BlockSpec((1, 1, 1, 1, LANE),
-                          lambda qi, ch, bi, ty, tx, w: (qi, bi, ch, 0, 0),
+                          lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((1, 1, 1, 1, LANE),
-                          lambda qi, ch, bi, ty, tx, w: (qi, bi, ch, 0, 0),
+                          lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
                           memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec(
-            (1, 1, 8, rows), lambda qi, ch, bi, ty, tx, w: (qi, ch, 0, 0),
+            (1, 1, 8, rows), lambda qi, ch, bi, t, w: (qi, ch, 0, 0),
             memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
@@ -262,7 +266,7 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     outs = []
     for c0 in range(0, qp, q_chunk):
         s = slice(c0, c0 + q_chunk)
-        outs.append(call(tidy[s].reshape(-1), tidx[s].reshape(-1),
+        outs.append(call(tid[s].reshape(-1),
                          beam_weight[s].astype(jnp.float32).reshape(-1),
                          tiles.tiles, iyl[s], ixl[s]))
     raw = jnp.concatenate(outs, axis=0)              # [QP, NCH, 8, TC*WYN]
