@@ -53,11 +53,22 @@ class LoopDetectionResult:
 
 @dataclasses.dataclass
 class LoopSearcherNearest:
-    """Nearest-node candidate search (loop_searcher_nearest.cpp:13-108)."""
+    """Nearest-node candidate search (loop_searcher_nearest.cpp:13-108).
+
+    ``num_candidate_maps`` extends the reference semantics: 1 (default)
+    emits the single nearest eligible node, exactly as
+    loop_searcher_nearest.cpp:44-78; K>1 emits the nearest eligible node
+    of up to K DISTINCT finished local maps (each within
+    ``node_dist_max``), ordered by distance. The round-4 detectors batch
+    all candidates into one device dispatch, so extra candidates cost no
+    additional host round trips — this closes revisited corridors the
+    one-candidate-per-pass reference policy leaves unconstrained (e.g.
+    the second lap of a multi-loop floor)."""
 
     travel_dist_threshold: float = 10.0
     node_dist_max: float = 5.0
     num_candidate_nodes: int = 2
+    num_candidate_maps: int = 1
 
     def search(self, graph: PoseGraph,
                builder: mb.GridMapBuilder) -> List[LoopCandidate]:
@@ -87,13 +98,22 @@ class LoopSearcherNearest:
 
         d2 = ((poses[:, :2] - robot_pose[:2]) ** 2).sum(axis=1)
         d2 = np.where(eligible, d2, np.inf)
-        best = int(np.argmin(d2))
-        if d2[best] >= self.node_dist_max ** 2:
-            return []
 
-        # Which local map owns the winning node.
-        map_idx = next(m.idx for m in maps
-                       if m.node_idx_min <= best <= m.node_idx_max)
+        # Nearest eligible node per finished local map; keep maps whose
+        # nearest node is inside node_dist_max, ordered by distance.
+        per_map = []
+        for m in maps[:-1]:
+            lo_n, hi_n = m.node_idx_min, m.node_idx_max
+            if hi_n < lo_n:
+                continue
+            seg_d2 = d2[lo_n:hi_n + 1]
+            b = int(np.argmin(seg_d2))
+            if seg_d2[b] < self.node_dist_max ** 2:
+                per_map.append((float(seg_d2[b]), m.idx, lo_n + b))
+        if not per_map:
+            return []
+        per_map.sort()
+        per_map = per_map[:max(1, self.num_candidate_maps)]
 
         # Candidate window around the latest node, clamped to the latest
         # local map's span (loop_searcher_nearest.cpp:90-102).
@@ -105,7 +125,8 @@ class LoopSearcherNearest:
         return [LoopCandidate(
             node_indices=list(range(lo, hi + 1)),
             local_map_idx=map_idx,
-            local_map_node_idx=best)]
+            local_map_node_idx=best)
+            for _, map_idx, best in per_map]
 
 
 def _bucket_batch(n: int) -> int:

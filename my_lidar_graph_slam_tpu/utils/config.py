@@ -172,7 +172,12 @@ def create_loop_searcher(root: Config, searcher_type: str, group: str):
     return lc.LoopSearcherNearest(
         travel_dist_threshold=float(g.get("TravelDistThreshold", 10.0)),
         node_dist_max=float(g.get("PoseGraphNodeDistMax", 2.0)),
-        num_candidate_nodes=int(g.get("NumOfCandidateNodes", 1)))
+        num_candidate_nodes=int(g.get("NumOfCandidateNodes", 1)),
+        # Extension over the reference (which always emits one candidate,
+        # loop_searcher_nearest.cpp:90-107): K>1 emits the nearest node of
+        # up to K distinct finished maps; the batched detectors fold them
+        # into one dispatch.
+        num_candidate_maps=int(g.get("NumOfCandidateMaps", 1)))
 
 
 def create_loop_detector(root: Config, detector_type: str, group: str):

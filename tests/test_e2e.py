@@ -126,6 +126,23 @@ def test_loop_search_returns_candidate(corridor_run):
     cur = s.graph.latest_pose()
     assert np.hypot(*(anchor[:2] - cur[:2])) < 3.0
 
+    # K>1 (extension): nearest node per distinct finished map, ordered by
+    # distance; K=1 must stay exactly the reference single-candidate
+    # result, and the K>1 head must equal it.
+    multi = lc.LoopSearcherNearest(
+        travel_dist_threshold=4.0, node_dist_max=8.0,
+        num_candidate_nodes=2, num_candidate_maps=4)
+    mcands = multi.search(s.graph, s.builder)
+    assert len(mcands) >= 2
+    assert mcands[0].local_map_idx == c.local_map_idx
+    assert mcands[0].local_map_node_idx == c.local_map_node_idx
+    maps_seen = [mc.local_map_idx for mc in mcands]
+    assert len(set(maps_seen)) == len(maps_seen)  # distinct maps
+    dists = [np.hypot(*(s.graph.poses[mc.local_map_node_idx][:2]
+                        - cur[:2])) for mc in mcands]
+    assert all(d < 8.0 for d in dists)
+    assert dists == sorted(dists)
+
 
 def test_loop_closure_improves_ate():
     """Config 3 analog: two laps, BB loop detection + LM optimization.
