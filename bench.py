@@ -208,10 +208,11 @@ def bench_tpu(g, queries):
         # (one 128x128 x (128, TC*WYN) one-hot matmul per beam per chunk).
         from my_lidar_graph_slam_tpu.ops.pallas import correlate_mxu as cm
         nt = 2 * win_t + 1
-        nch = -(-nt // cm.DEF_THETA_CHUNK)
+        tc = cm.auto_theta_chunk(nt, win, win)
+        nch = -(-nt // tc)
         nb_k = scan_args[0].shape[1]
         flops_per_query = nch * nb_k * 2 * cm.TILE * cm.TILE * \
-            (cm.DEF_THETA_CHUNK * (2 * win + 1))
+            (tc * (2 * win + 1))
         curve = {64: round(mps, 1)}
         best_mps, best_q = mps, q
         for qq in (256, 1024):

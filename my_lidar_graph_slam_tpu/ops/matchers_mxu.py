@@ -46,9 +46,10 @@ def supported(win_x: int, win_y: int) -> bool:
 
 def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
                            win_x: int, win_y: int,
-                           theta_chunk: int = cm.DEF_THETA_CHUNK,
+                           theta_chunk=None,
                            q_chunk: int = 16,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           mxu_dtype=jnp.float32):
     """Full (2*win_x+1) x (2*win_y+1) window scores for ANY window size.
 
     The Pallas kernel's tile-overlap budget caps its window at 7x7
@@ -63,7 +64,8 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
     if win_x <= _KW and win_y <= _KW:
         return cm.window_scores_mxu(tiles, ix, iy, beam_weight,
                                     win_x, win_y, theta_chunk=theta_chunk,
-                                    q_chunk=q_chunk, interpret=interpret)
+                                    q_chunk=q_chunk, interpret=interpret,
+                                    mxu_dtype=mxu_dtype)
     kw = 2 * _KW + 1
     wxn = 2 * win_x + 1
     wyn = 2 * win_y + 1
@@ -84,7 +86,7 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
     s = cm.window_scores_mxu(
         tiles, ixb, iyb, wb, _KW, _KW,
         theta_chunk=theta_chunk, q_chunk=qc,
-        interpret=interpret)                           # [B*Q, NT, 7, 7]
+        interpret=interpret, mxu_dtype=mxu_dtype)      # [B*Q, NT, 7, 7]
     s = s.reshape(nbx, nby, q, nt, kw, kw)
     # Assemble: block (kx, ky) holds offsets (cx + d, cy + e).
     s = jnp.transpose(s, (2, 3, 0, 4, 1, 5)).reshape(
@@ -93,7 +95,7 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
 
 
 def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
-                       theta_chunk: int = cm.DEF_THETA_CHUNK,
+                       theta_chunk=None,
                        q_chunk: int = 16) -> float:
     """Fraction of EXTRA kernel work done on padding for a wide-window
     sweep (VERDICT r3 weak #7): the folded (block x query) axis pads to a
@@ -101,12 +103,14 @@ def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
     rows/lanes run full grid steps that score nothing. 0.0 = no waste."""
     if win_x <= _KW and win_y <= _KW:
         nq = q
-        tc = theta_chunk
+        tc = (cm.auto_theta_chunk(nt, win_x, win_y)
+              if theta_chunk is None else theta_chunk)
         qc = min(q_chunk, q)
     else:
         kw = 2 * _KW + 1
         nq = q * (-(-(2 * win_x + 1) // kw)) * (-(-(2 * win_y + 1) // kw))
-        tc = theta_chunk
+        tc = (cm.auto_theta_chunk(nt, _KW, _KW)
+              if theta_chunk is None else theta_chunk)
         qc = min(max(q_chunk, 1) * (nq // max(q, 1)), nq, 128)
     nch = -(-nt // tc)
     # SMEM clamp replicated from window_scores_mxu.
@@ -121,7 +125,7 @@ def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
                      "q_chunk", "cost_type", "greedy_params", "interpret",
-                     "score_gate"))
+                     "score_gate", "mxu_dtype"))
 def correlative_match_mxu_batch(value_map,
                                 tiles: cm.MxuTiles,
                                 grid: gridops.GridMap,
@@ -135,12 +139,13 @@ def correlative_match_mxu_batch(value_map,
                                 normalized_score_threshold,
                                 num_total_beams,
                                 win_x: int, win_y: int, win_theta_max: int,
-                                theta_chunk: int = cm.DEF_THETA_CHUNK,
+                                theta_chunk=None,
                                 q_chunk: int = 16,
                                 cost_type: str = "greedy_endpoint",
                                 greedy_params: tuple = (),
                                 interpret: bool = False,
-                                score_gate: str = "correlative"
+                                score_gate: str = "correlative",
+                                mxu_dtype=jnp.float32
                                 ) -> matchers.MatchSummary:
     """Q full-window correlative matches in ONE dispatch, gather-free.
 
@@ -174,7 +179,7 @@ def correlative_match_mxu_batch(value_map,
         range_theta, usable_range_min, usable_range_max,
         normalized_score_threshold, num_total_beams,
         win_x, win_y, win_theta_max, theta_chunk, q_chunk,
-        cost_type, greedy_params, interpret, score_gate)
+        cost_type, greedy_params, interpret, score_gate, mxu_dtype)
 
 
 def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
@@ -183,7 +188,8 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
                    usable_range_max, normalized_score_threshold,
                    num_total_beams, win_x, win_y, win_theta_max,
                    theta_chunk, q_chunk, cost_type, greedy_params,
-                   interpret, score_gate) -> matchers.MatchSummary:
+                   interpret, score_gate,
+                   mxu_dtype=jnp.float32) -> matchers.MatchSummary:
     q, nb = ranges.shape
     n_total = jnp.asarray(num_total_beams, jnp.float32)
 
@@ -230,7 +236,7 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
     scores = window_scores_mxu_wide(
         tiles, ix, iy, wgt, win_x, win_y,
         theta_chunk=theta_chunk, q_chunk=q_chunk,
-        interpret=interpret)                          # [Q, NT, WXN, WYN]
+        interpret=interpret, mxu_dtype=mxu_dtype)     # [Q, NT, WXN, WYN]
     live = jnp.abs(t_idx)[None, :] <= win_theta_act[:, None]
     scores = jnp.where(live[:, :, None, None], scores, -jnp.inf)
 
@@ -279,7 +285,7 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
                      "q_chunk", "cost_type", "greedy_params", "interpret",
-                     "score_gate"))
+                     "score_gate", "mxu_dtype"))
 def correlative_match_mxu_multi(value_maps,
                                 tiles_stack,
                                 origins,
@@ -294,12 +300,13 @@ def correlative_match_mxu_multi(value_maps,
                                 normalized_score_threshold,
                                 num_total_beams,
                                 win_x: int, win_y: int, win_theta_max: int,
-                                theta_chunk: int = cm.DEF_THETA_CHUNK,
+                                theta_chunk=None,
                                 q_chunk: int = 16,
                                 cost_type: str = "greedy_endpoint",
                                 greedy_params: tuple = (),
                                 interpret: bool = False,
-                                score_gate: str = "pixel_accurate"
+                                score_gate: str = "pixel_accurate",
+                                mxu_dtype=jnp.float32
                                 ) -> matchers.MatchSummary:
     """M candidate maps x K nodes matched in ONE device dispatch.
 
@@ -330,5 +337,5 @@ def correlative_match_mxu_multi(value_maps,
             usable_range_max, normalized_score_threshold,
             num_total_beams[k], win_x, win_y, win_theta_max,
             theta_chunk, q_chunk, cost_type, greedy_params, interpret,
-            score_gate))
+            score_gate, mxu_dtype))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)

@@ -82,72 +82,106 @@ def make_mxu_tiles(value_map) -> MxuTiles:
     return MxuTiles(_make_tiles(value_map, h, w))
 
 
-def _kernel(tc, wxn, wyn, nb, mxu_dtype, tid_ref, w_ref,
-            tile_ref, iyl_ref, ixl_ref, out_ref):
-    """One (query, chunk, beam) step: score TC thetas x window offsets.
+def _kernel_bb(tc, wxn, wyn, nb, bb, mxu_dtype, tid_ref, w_ref, *refs):
+    """One (query, chunk, beam-block) step: BB beams x TC thetas x window.
 
-    The theta-chunk axis lives in the GRID (not a Python loop over lane
-    slices): Mosaic v5e rejects broadcasts of vectors whose lane offset is
-    non-zero ("Invalid input layout"), so every in-kernel slice must start
-    at lane 0 — one chunk per grid step guarantees that. The
-    scalar-prefetch operands (tile ids, beam weights) are FLAT 1-D arrays:
-    SMEM pads a multi-dim array's last dimension to 128 lanes, which blows
-    a [QC, NB, NCH] int32 array from 46 KB to 1.5 MB — past the 1 MB SMEM
-    ("Allocation would exceed memory ... space=smem", v5e). ``w_ref`` is
-    f32[QC*NB] indexed ``qi*nb + b`` (a (1, 1)-blocked tensor operand is
-    likewise rejected by Mosaic's block rules; prefetch refs are exempt).
-    Transposed orientation throughout — per-theta coordinates live along
-    LANES, map y/x along SUBLANES — so no in-kernel transposes are needed.
-    The tile ids are PACKED (tidy * ntx + tidx) into one flat i32 array —
-    halving the SMEM prefetch footprint doubles the q_chunk the 1 MB SMEM
-    admits, which halves the number of kernel launches at large Q (each
-    launch carries ~8 ms of fixed overhead on v5e); the index map unpacks
-    with // and %.
+    Mosaic/v5e layout rules this kernel obeys (each cost a real debugging
+    session on hardware; CPU interpret mode accepts violations):
+
+    * The theta-chunk axis lives in the GRID (not a Python loop over lane
+      slices): Mosaic v5e rejects broadcasts of vectors whose lane offset
+      is non-zero ("Invalid input layout"), so every in-kernel slice must
+      start at lane 0 — one chunk per grid step guarantees that.
+    * The scalar-prefetch operands (tile ids, beam weights) are FLAT 1-D
+      arrays: SMEM pads a multi-dim array's last dimension to 128 lanes,
+      which blows a [QC, NB, NCH] int32 array from 46 KB to 1.5 MB — past
+      the 1 MB SMEM ("Allocation would exceed memory ... space=smem").
+      ``w_ref`` is f32[QC*NB] indexed ``qi*nb + bi*bb + j`` (a (1, 1)-
+      blocked tensor operand is likewise rejected by Mosaic's block
+      rules; prefetch refs are exempt).
+    * Transposed orientation throughout — per-theta coordinates along
+      LANES, map y/x along SUBLANES — so no in-kernel transposes.
+    * Tile ids are PACKED (tidy * ntx + tidx) into one flat i32 array —
+      halving the SMEM prefetch footprint doubles the q_chunk the 1 MB
+      SMEM admits, which halves kernel launches at large Q (each launch
+      carries ~8 ms fixed overhead); the index maps unpack with // and %.
+
+    Beam-blocking (round 4): the measured per-grid-step FIXED cost on v5e
+    is ~0.30 us (grid machinery, out-block read-modify-write, DMA
+    descriptor setup) — at one beam per step that floor was 54% of total
+    kernel time (229 of 422 us/query at Q=1024, NCH=4, NB=192). Each step
+    now consumes ``bb`` beams: ``bb`` tile BlockSpecs DMA the per-beam
+    tiles, the per-beam contributions accumulate in a register, and the
+    out block is touched once — dividing the floor by ``bb`` (measured:
+    431 -> 243 us/query at bb=8; saturated by the remaining per-beam
+    compute above bb=8).
     """
-    del tid_ref  # consumed by the index maps
+    tile_refs = refs[:bb]
+    iyl_ref, ixl_ref, out_ref = refs[bb], refs[bb + 1], refs[bb + 2]
     qi = pl.program_id(0)
-    b = pl.program_id(2)
+    bi = pl.program_id(2)
     rows = tc * wyn
 
-    tile = tile_ref[0, 0]                             # (128, 128) f32
-    iyl = iyl_ref[0, 0, 0]                            # (1, LANE) int32
-    ixl = ixl_ref[0, 0, 0]
-    beam_w = w_ref[qi * nb + b]
+    acc = jnp.zeros((8, rows), jnp.float32)
+    for j in range(bb):
+        tile = tile_refs[j][0, 0]                     # (128, 128) f32
+        iyl = iyl_ref[0, j, 0]                        # (1, LANE) int32
+        ixl = ixl_ref[0, j, 0]
+        beam_w = w_ref[qi * nb + bi * bb + j]
 
-    y_ch = iyl[:, :tc]                                # (1, TC), lane off 0
-    x_ch = ixl[:, :tc]
+        y_ch = iyl[:, :tc]                            # (1, TC), lane off 0
+        x_ch = ixl[:, :tc]
 
-    # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
-    ohy = jnp.concatenate(
-        [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(mxu_dtype)
-         for dy in range(-(wyn // 2), wyn // 2 + 1)],
-        axis=1)                                       # (128, TC*WYN)
-    # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
-    # mxu_dtype=bfloat16 runs the matmul at the MXU's native rate (the
-    # one-hot operand is exact in bf16; only the tile values round, <=
-    # 2^-9 relative per read) with f32 accumulation; float32 is the exact
-    # path.
-    a = jax.lax.dot_general(
-        tile.astype(mxu_dtype), ohy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (128, TC*WYN)
+        # One-hot rows (transposed): OHY[y, r] = (y == iyl[r % TC] + dy).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, tc), 0)
+        ohy = jnp.concatenate(
+            [jnp.where(sub == y_ch + dy, 1.0, 0.0).astype(mxu_dtype)
+             for dy in range(-(wyn // 2), wyn // 2 + 1)],
+            axis=1)                                   # (128, TC*WYN)
+        # A[x, r] = sum_y tile[y, x] * OHY[y, r] — row extraction on MXU.
+        # mxu_dtype=bfloat16 rounds only the tile values (<= 2^-9
+        # relative; the one-hot operand is exact in bf16) with f32
+        # accumulation — measured on v5e it buys nothing (the kernel is
+        # step-overhead/VPU bound, not matmul bound), so float32 stays
+        # the default exact path.
+        a = jax.lax.dot_general(
+            tile.astype(mxu_dtype), ohy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (128, TC*WYN)
 
-    sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
-    x_rep = jnp.concatenate([x_ch] * wyn, axis=1)     # (1, TC*WYN)
-    cols = [jnp.sum(jnp.where(sub2 == x_rep + dx, a, 0.0),
-                    axis=0, keepdims=True)            # (1, TC*WYN)
-            for dx in range(-(wxn // 2), wxn // 2 + 1)]
-    if wxn < 8:
-        cols.append(jnp.zeros((8 - wxn, rows), jnp.float32))
-    contrib = jnp.concatenate(cols, axis=0) * beam_w  # (8, TC*WYN)
+        sub2 = jax.lax.broadcasted_iota(jnp.int32, (TILE, rows), 0)
+        x_rep = jnp.concatenate([x_ch] * wyn, axis=1)  # (1, TC*WYN)
+        cols = [jnp.sum(jnp.where(sub2 == x_rep + dx, a, 0.0),
+                        axis=0, keepdims=True)        # (1, TC*WYN)
+                for dx in range(-(wxn // 2), wxn // 2 + 1)]
+        if wxn < 8:
+            cols.append(jnp.zeros((8 - wxn, rows), jnp.float32))
+        acc = acc + jnp.concatenate(cols, axis=0) * beam_w
 
-    @pl.when(b == 0)
+    @pl.when(bi == 0)
     def _():
-        out_ref[0, 0] = contrib
+        out_ref[0, 0] = acc
 
-    @pl.when(b > 0)
+    @pl.when(bi > 0)
     def _():
-        out_ref[0, 0] = out_ref[0, 0] + contrib
+        out_ref[0, 0] = out_ref[0, 0] + acc
+
+
+def max_theta_chunk(win_x: int, win_y: int) -> int:
+    """Largest chunk the tile-overlap budget admits at this window."""
+    return (TILE - STRIDE + 1) - (2 * max(win_x, win_y) + 1)
+
+
+def auto_theta_chunk(nt: int, win_x: int, win_y: int) -> int:
+    """Chunk size minimizing the padded theta lattice ``nch * tc``.
+
+    Kernel work is proportional to the padded lattice (each grid step scores
+    ``tc`` thetas and there are ``ceil(nt / tc)`` chunk steps), so the
+    fixed DEF_THETA_CHUNK=56 wastes up to 11% at NT=201 (4 x 56 = 224
+    slots); picking the smallest tc that still needs the same number of
+    chunks (tc = ceil(nt / nch_min)) pads at most nch - 1 slots."""
+    tc_max = max_theta_chunk(win_x, win_y)
+    nch = -(-nt // tc_max)
+    return -(-nt // nch)
 
 
 @functools.partial(
@@ -156,7 +190,7 @@ def _kernel(tc, wxn, wyn, nb, mxu_dtype, tid_ref, w_ref,
                      "interpret", "mxu_dtype"))
 def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
                       win_x: int, win_y: int,
-                      theta_chunk: int = DEF_THETA_CHUNK,
+                      theta_chunk=None,
                       q_chunk: int = 16,
                       interpret: bool = False,
                       mxu_dtype=jnp.float32):
@@ -175,10 +209,14 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     order) to ``scoring.window_scores(value_map, ix, iy, w, win_x, win_y)``.
     """
     assert win_x <= 3 and win_y <= 3
-    tc = theta_chunk
+    q, nt, nb = ix.shape
+    tc = (auto_theta_chunk(nt, win_x, win_y) if theta_chunk is None
+          else theta_chunk)
     assert tc + 2 * max(win_x, win_y) + 1 <= TILE - STRIDE + 1, \
         "theta chunk arc + window must fit the tile overlap budget"
-    q, nt, nb = ix.shape
+    # Beams per grid step (see _kernel_bb): largest power of two <= 8
+    # dividing NB. Production beam counts are 64-multiples, so bb=8.
+    bb = next(b for b in (8, 4, 2, 1) if nb % b == 0)
     nty, ntx = tiles.tiles.shape[0], tiles.tiles.shape[1]
     hc = (nty - 1) * STRIDE + TILE
     wc = (ntx - 1) * STRIDE + TILE
@@ -220,7 +258,7 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     # Tile-local coordinates, laid out [QP, NB, NCH, 1, LANE]: each chunk's
     # TC indices are padded out to a full 128-lane tile, and the chunk axis
     # is a GRID dimension, so every in-kernel slice starts at lane 0 (see
-    # _kernel). The trailing (1, LANE) block spans the array's last two
+    # _kernel_bb). The trailing (1, LANE) block spans the array's last two
     # dims — a Mosaic block-shape requirement — and is lane-contiguous.
     def chunk_pad(v4, tid):
         loc = v4 - (tid * STRIDE)[:, :, None, :]     # [QP, NCH, TC, NB]
@@ -230,31 +268,34 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
 
     iyl = chunk_pad(iy4, tidy)
     ixl = chunk_pad(ix4, tidx)
-    # Flat PACKED [QP * NB * NCH] prefetch layout (see _kernel docstring).
+    # Flat PACKED [QP * NB * NCH] prefetch layout (see _kernel_bb doc).
     tid = jnp.transpose(tidy * ntx + tidx, (0, 2, 1)).reshape(qp, -1)
 
+    # One tile BlockSpec per beam of the block; index maps bind j.
+    def tile_index_map(j):
+        return lambda qi, ch, bi, t, w: (
+            t[(qi * nb + bi * bb + j) * nch + ch] // ntx,
+            t[(qi * nb + bi * bb + j) * nch + ch] % ntx, 0, 0)
+
+    tile_specs = [pl.BlockSpec((1, 1, TILE, TILE), tile_index_map(j),
+                               memory_space=pltpu.VMEM)
+                  for j in range(bb)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(q_chunk, nch, nb),
-        in_specs=(
-            [pl.BlockSpec(
-                (1, 1, TILE, TILE),
-                lambda qi, ch, bi, t, w: (
-                    t[(qi * nb + bi) * nch + ch] // ntx,
-                    t[(qi * nb + bi) * nch + ch] % ntx, 0, 0),
-                memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, 1, 1, 1, LANE),
-                          lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, 1, 1, 1, LANE),
-                          lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
-                          memory_space=pltpu.VMEM)]),
+        grid=(q_chunk, nch, nb // bb),
+        in_specs=(tile_specs + [
+            pl.BlockSpec((1, bb, 1, 1, LANE),
+                         lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bb, 1, 1, LANE),
+                         lambda qi, ch, bi, t, w: (qi, bi, ch, 0, 0),
+                         memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec(
             (1, 1, 8, rows), lambda qi, ch, bi, t, w: (qi, ch, 0, 0),
             memory_space=pltpu.VMEM),
     )
     call = pl.pallas_call(
-        functools.partial(_kernel, tc, wxn, wyn, nb, mxu_dtype),
+        functools.partial(_kernel_bb, tc, wxn, wyn, nb, bb, mxu_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((q_chunk, nch, 8, rows),
                                        jnp.float32),
@@ -268,7 +309,7 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
         s = slice(c0, c0 + q_chunk)
         outs.append(call(tid[s].reshape(-1),
                          beam_weight[s].astype(jnp.float32).reshape(-1),
-                         tiles.tiles, iyl[s], ixl[s]))
+                         *([tiles.tiles] * bb), iyl[s], ixl[s]))
     raw = jnp.concatenate(outs, axis=0)              # [QP, NCH, 8, TC*WYN]
 
     # Decode: lane r of chunk ch is (dyi, tci) = dyi*TC + tci; sublane is

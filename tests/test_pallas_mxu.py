@@ -214,3 +214,42 @@ def test_wide_window_scores_match_oracle():
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=0, atol=1e-4)
+
+
+def test_window_scores_mxu_bf16_close_to_f32():
+    """mxu_dtype=bfloat16 rounds only the tile values (the one-hot operand
+    is exact in bf16), so scores deviate by <= NB * 2^-9 * max|v| with f32
+    accumulation — and the argmax must agree on a workload with clear
+    structure (separated score levels)."""
+    rng = np.random.default_rng(7)
+    h, w = 260, 300
+    vm = jnp.asarray(rng.random((h, w)), jnp.float32)
+    tiles = cm.make_mxu_tiles(vm)
+
+    q, nt, nb = 2, 41, 31
+    ix, iy = _arc_indices(rng, q, nt, nb, h, w, margin=40)
+    wgt = jnp.asarray(rng.random((q, nb)), jnp.float32)
+
+    f32 = np.asarray(cm.window_scores_mxu(tiles, ix, iy, wgt, 3, 3,
+                                          interpret=True))
+    bf16 = np.asarray(cm.window_scores_mxu(tiles, ix, iy, wgt, 3, 3,
+                                           interpret=True,
+                                           mxu_dtype=jnp.bfloat16))
+    # Per-read relative rounding is <= 2^-9; the summed absolute error is
+    # bounded by nb * 2^-9 (values and weights in [0, 1]).
+    assert np.max(np.abs(bf16 - f32)) <= nb * 2.0 ** -9 + 1e-4
+
+
+def test_auto_theta_chunk_minimizes_lattice():
+    """auto_theta_chunk must keep the chunk count minimal and shrink the
+    padded lattice vs the fixed default (11% of kernel work at NT=201)."""
+    for nt in (1, 9, 56, 57, 201, 224, 400):
+        for win in (1, 3):
+            tc = cm.auto_theta_chunk(nt, win, win)
+            assert cm.theta_chunk_supported(win, win, tc)
+            nch = -(-nt // tc)
+            tc_max = cm.max_theta_chunk(win, win)
+            assert nch == -(-nt // tc_max)          # minimal chunk count
+            assert nch * tc - nt < nch              # minimal padding
+    assert cm.auto_theta_chunk(201, 2, 2) * \
+        -(-201 // cm.auto_theta_chunk(201, 2, 2)) == 204
