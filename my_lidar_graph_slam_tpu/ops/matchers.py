@@ -72,10 +72,11 @@ def _cost_and_covariance(cost_type, value_map, grid, best_sensor_pose,
         cov = costops.square_error_covariance(
             value_map, grid, best_sensor_pose, ranges, angles, cost_mask)
     else:
-        c = costops.greedy_endpoint_cost(
-            value_map, grid, best_sensor_pose, ranges, angles, cost_mask,
-            **gp)
-        cov = costops.greedy_endpoint_covariance(
+        # Fused path: one evaluation computes cost + the 7-pose central-
+        # difference covariance with deduplicated reads (86 vs 126 map
+        # gathers per beam at k=1 — the gather-rate-bound tail of every
+        # device match, see greedy_endpoint_cost_and_covariance_fused).
+        c, cov = costops.greedy_endpoint_cost_and_covariance_fused(
             value_map, grid, best_sensor_pose, ranges, angles, cost_mask,
             **gp)
     return c, cov

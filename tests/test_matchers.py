@@ -578,3 +578,39 @@ def test_branch_bound_frontier_overflow_flag(scene):
         ranges, angles, jnp.asarray(score_mask), 181)
     np.testing.assert_allclose(float(tight.normalized_score) * 181,
                                float(resc.score[0]), rtol=1e-4)
+
+
+def test_fused_greedy_cost_cov_matches_naive(scene):
+    """The read-deduplicated fused cost+covariance must reproduce the
+    naive 7-pose evaluation (greedy_endpoint_cost + _covariance) exactly
+    (identical reads modulo dedup; divergence possible only at 1-ulp
+    floor boundaries, measure-zero for this data)."""
+    from my_lidar_graph_slam_tpu.ops import cost as costops
+
+    g, segs, beam_angles, vals = scene
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        p = np.array([0.0, 0.0, 0.3]) + np.concatenate(
+            [rng.uniform(-0.2, 0.2, 2), rng.uniform(-0.15, 0.15, 1)])
+        r = synth.raycast_segments(p[:2], p[2] + beam_angles, segs, 20.0)
+        ranges = np.zeros(NB, np.float32)
+        angles = np.zeros(NB, np.float32)
+        mask = np.zeros(NB, np.float32)
+        ranges[:181] = r + rng.normal(0, 0.01, r.shape)
+        angles[:181] = beam_angles
+        mask[:181] = (r > 0.05) & (r < 19.0)
+        pj = jnp.asarray(p, jnp.float32)
+        rj, aj, mj = jnp.asarray(ranges), jnp.asarray(angles), \
+            jnp.asarray(mask)
+        for k in (1, 2):
+            c_ref = costops.greedy_endpoint_cost(
+                vals, g, pj, rj, aj, mj, kernel_size=k)
+            cov_ref = costops.greedy_endpoint_covariance(
+                vals, g, pj, rj, aj, mj, kernel_size=k)
+            c_f, cov_f = costops.greedy_endpoint_cost_and_covariance_fused(
+                vals, g, pj, rj, aj, mj, kernel_size=k)
+            np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_ref),
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(cov_f),
+                                       np.asarray(cov_ref),
+                                       rtol=1e-5, atol=1e-7)
