@@ -262,11 +262,30 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
     cost_mask = matchers._range_gate(
         valid, ranges, usable_range_min, usable_range_max,
         scan_min_range[:, None], scan_max_range[:, None])
-    c, cov = jax.vmap(
-        lambda p_, r_, a_, m_: matchers._cost_and_covariance(
-            cost_type, value_map, grid, p_, r_, a_, m_, greedy_params))(
-        best_sensor_poses, ranges, angles,
-        cost_mask.astype(value_map.dtype))
+    gp = dict(greedy_params)
+    if cost_type == "greedy_endpoint" and gp.get("kernel_size", 1) == 1:
+        # Gather-free cost + covariance on the MXU (the per-match tail
+        # was ~180 us/query of scalar gathers even after read dedup —
+        # see ops/pallas/greedy_cost_mxu.py). The 32-row cost tiles are
+        # built inside this dispatch, like the correlation tiles.
+        from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu
+        ctiles = greedy_cost_mxu.make_cost_tiles(value_map)
+        c, cov = greedy_cost_mxu.greedy_cost_cov_mxu(
+            ctiles, grid.origin, best_sensor_poses, ranges, angles,
+            cost_mask.astype(jnp.float32),
+            resolution=grid.resolution,
+            hit_and_missed_dist=gp.get("hit_and_missed_dist", 0.075),
+            occupancy_threshold=gp.get("occupancy_threshold", 0.1),
+            standard_deviation=gp.get("standard_deviation", 1.0),
+            scaling_factor=gp.get("scaling_factor", 0.05),
+            interpret=interpret)
+    else:
+        c, cov = jax.vmap(
+            lambda p_, r_, a_, m_: matchers._cost_and_covariance(
+                cost_type, value_map, grid, p_, r_, a_, m_,
+                greedy_params))(
+            best_sensor_poses, ranges, angles,
+            cost_mask.astype(value_map.dtype))
 
     estimated_poses = jax.vmap(se2.move_backward)(best_sensor_poses,
                                                   rel_sensor_poses)

@@ -135,8 +135,10 @@ def test_loop_detector_bb_mxu_parity(loop_scene):
         assert a.start_node_idx == b.start_node_idx
         np.testing.assert_allclose(a.relative_pose, b.relative_pose,
                                    atol=1e-5)
+        # atol 1e-6: the MXU path's cost kernel accumulates beams in a
+        # different f32 order than the host cost the BB path uses.
         np.testing.assert_allclose(a.covariance, b.covariance,
-                                   rtol=1e-3, atol=1e-7)
+                                   rtol=1e-3, atol=1e-6)
 
 
 def test_loop_detector_bb_mxu_parity_usable_gate(loop_scene):

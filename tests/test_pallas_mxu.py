@@ -253,3 +253,62 @@ def test_auto_theta_chunk_minimizes_lattice():
             assert nch * tc - nt < nch              # minimal padding
     assert cm.auto_theta_chunk(201, 2, 2) * \
         -(-201 // cm.auto_theta_chunk(201, 2, 2)) == 204
+
+
+def test_greedy_cost_cov_mxu_matches_fused():
+    """The Pallas cost+covariance kernel must reproduce the fused host
+    path exactly (identical read set and semantics; f32 order only)."""
+    from my_lidar_graph_slam_tpu.io import synth
+    from my_lidar_graph_slam_tpu.ops import cost as costops
+    from my_lidar_graph_slam_tpu.ops import grid as gridops, raycast
+    from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu as gc
+
+    RES = 0.05
+    NB = 192
+    segs = synth.default_world()
+    beam = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    g = gridops.empty(512, 512, RES, center=np.array([0.0, 0.0]))
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        p = np.array([0.0, 0.0, 0.3]) + np.concatenate(
+            [rng.uniform(-0.3, 0.3, 2), rng.uniform(-0.2, 0.2, 1)])
+        r = synth.raycast_segments(p[:2], p[2] + beam, segs, 20.0)
+        ranges = np.zeros(NB, np.float32)
+        angles = np.zeros(NB, np.float32)
+        valid = np.zeros(NB, bool)
+        ranges[:181] = r
+        angles[:181] = beam
+        valid[:181] = True
+        g = raycast.integrate_scan(
+            g, jnp.asarray(p, jnp.float32), jnp.asarray(ranges),
+            jnp.asarray(angles), jnp.asarray(valid), 0.01, 20.0,
+            max_steps=448)
+
+    vals = gridops.values(g)
+    tiles = gc.make_cost_tiles(vals)
+    q = 4
+    poses = np.zeros((q, 3), np.float32)
+    R = np.zeros((q, NB), np.float32)
+    A = np.zeros((q, NB), np.float32)
+    M = np.zeros((q, NB), np.float32)
+    for qi in range(q):
+        p = np.array([0.0, 0.0, 0.3]) + np.concatenate(
+            [rng.uniform(-0.2, 0.2, 2), rng.uniform(-0.15, 0.15, 1)])
+        r = synth.raycast_segments(p[:2], p[2] + beam, segs, 20.0)
+        poses[qi] = p
+        R[qi, :181] = r + rng.normal(0, 0.01, r.shape)
+        A[qi, :181] = beam
+        M[qi, :181] = (r > 0.05) & (r < 19.0)
+
+    c_k, cov_k = gc.greedy_cost_cov_mxu(
+        tiles, g.origin, jnp.asarray(poses), jnp.asarray(R),
+        jnp.asarray(A), jnp.asarray(M), resolution=RES, interpret=True)
+    for qi in range(q):
+        c_ref, cov_ref = costops.greedy_endpoint_cost_and_covariance_fused(
+            vals, g, jnp.asarray(poses[qi]), jnp.asarray(R[qi]),
+            jnp.asarray(A[qi]), jnp.asarray(M[qi]), kernel_size=1)
+        np.testing.assert_allclose(np.asarray(c_k[qi]), np.asarray(c_ref),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(cov_k[qi]),
+                                   np.asarray(cov_ref),
+                                   rtol=1e-4, atol=1e-8)
