@@ -195,7 +195,7 @@ def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
                         occupancy_threshold: float = 0.1,
                         standard_deviation: float = 1.0,
                         scaling_factor: float = 0.05,
-                        q_chunk: int = 64,
+                        q_chunk: int = 256,
                         interpret: bool = False):
     """Batched cost + covariance, gather-free (kernel_size=1 only).
 
