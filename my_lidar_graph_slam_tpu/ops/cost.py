@@ -92,124 +92,6 @@ def greedy_endpoint_cost(value_map, grid: gridops.GridMap, sensor_poses,
     return per_beam.sum(axis=-1) * scaling_factor
 
 
-def _extract_patch_value(patch, oy, ox):
-    """Value at dynamic in-patch coordinates via iota masks (VPU-only).
-
-    ``patch``: f32[..., P, P]; ``oy``/``ox``: int32[...]. Out-of-patch
-    coordinates return 0 (the Unknown sentinel — the patch is cut from a
-    zero-padded map, so off-patch == off-map here by construction).
-    """
-    p = patch.shape[-1]
-    iota = jnp.arange(p)
-    my = (iota == oy[..., None]).astype(patch.dtype)          # [..., P]
-    row = jnp.einsum("...yx,...y->...x", patch, my)           # [..., P]
-    mx = (iota == ox[..., None]).astype(patch.dtype)
-    return (row * mx).sum(-1)
-
-
-def greedy_endpoint_cost_and_covariance_patch(
-        value_map, grid: gridops.GridMap, sensor_pose, ranges, angles,
-        beam_mask, patch_margin: int,
-        hit_and_missed_dist=0.075, occupancy_threshold=0.1,
-        kernel_size: int = 1, standard_deviation=1.0, scaling_factor=0.05):
-    """Greedy-endpoint cost + covariance with ONE map read per beam.
-
-    Numerically identical to :func:`greedy_endpoint_cost` /
-    :func:`greedy_endpoint_covariance` (cost_function_greedy_endpoint.cpp:
-    32-171), but instead of 7 pose evaluations x 2 endpoints x (2k+1)^2
-    kernel cells of single-element map lookups (the TPU gather unit charges
-    ~9 cycles per index, so that tail dominates a pruned match), each beam
-    gathers one ``(2*patch_margin+1)^2`` patch around its base hit cell and
-    every perturbed-pose kernel value is extracted from the patch with
-    iota-mask reductions on the VPU.
-
-    ``patch_margin`` must cover the largest in-patch excursion:
-    ``ceil((max_range * 1e-2 + hit_and_missed_dist) / res) + kernel_size +
-    2`` (the 1e-2 is the angular finite-difference step, cost_function_
-    greedy_endpoint.cpp:123). Beams whose perturbed cells still escape the
-    patch read Unknown — callers must size the margin from the config's
-    range gate so this never affects unmasked beams.
-
-    ``sensor_pose``: f32[3] (a single pose — the match winner).
-    Returns (cost[], covariance[3, 3]).
-    """
-    res = grid.resolution
-    variance = standard_deviation * standard_deviation
-    k = kernel_size
-    m = patch_margin
-    p = 2 * m + 1
-
-    # Patch per beam, anchored at the BASE pose's hit cell, cut from a
-    # zero-padded copy so out-of-map cells read Unknown=0.
-    world_angle = sensor_pose[2] + angles
-    bhx = sensor_pose[0] + ranges * jnp.cos(world_angle)
-    bhy = sensor_pose[1] + ranges * jnp.sin(world_angle)
-    bix, biy = gridops.world_to_cell(grid, jnp.stack([bhx, bhy], -1))
-    padded = jnp.pad(value_map, ((m, m), (m, m)))
-    h, w = value_map.shape
-    # Patch start in PADDED coords is simply the base cell index (map cell
-    # c maps to padded index c + m; the patch spans [c - m, c + m]). Clamp
-    # to the valid slice range; in-patch coordinates below are computed
-    # from the clamped start, so a shifted edge patch stays consistent.
-    sy = jnp.clip(biy, 0, h - 1)
-    sx = jnp.clip(bix, 0, w - 1)
-
-    def slice_one(y0, x0):
-        return jax.lax.dynamic_slice(padded, (y0, x0), (p, p))
-
-    patches = jax.vmap(slice_one)(sy.reshape(-1), sx.reshape(-1))
-    patches = patches.reshape(ranges.shape + (p, p))          # [NB, P, P]
-
-    diff_ang = 1e-2
-    deltas = jnp.stack([
-        jnp.zeros((3,), jnp.float32),
-        jnp.asarray([1.0, 0.0, 0.0]) * res,
-        jnp.asarray([0.0, 1.0, 0.0]) * res,
-        jnp.asarray([0.0, 0.0, 1.0]) * diff_ang,
-        jnp.asarray([-1.0, 0.0, 0.0]) * res,
-        jnp.asarray([0.0, -1.0, 0.0]) * res,
-        jnp.asarray([0.0, 0.0, -1.0]) * diff_ang,
-    ])                                                        # [7, 3]
-    poses = sensor_pose[None, :] + deltas                     # [7, 3]
-
-    wa = poses[:, 2:3] + angles[None, :]                      # [7, NB]
-    cos_t = jnp.cos(wa)
-    sin_t = jnp.sin(wa)
-    hx = poses[:, 0:1] + ranges[None, :] * cos_t
-    hy = poses[:, 1:2] + ranges[None, :] * sin_t
-    mx_ = poses[:, 0:1] + (ranges[None, :] - hit_and_missed_dist) * cos_t
-    my_ = poses[:, 1:2] + (ranges[None, :] - hit_and_missed_dist) * sin_t
-    hix, hiy = gridops.world_to_cell(grid, jnp.stack([hx, hy], -1))
-    mix, miy = gridops.world_to_cell(grid, jnp.stack([mx_, my_], -1))
-
-    # In-patch coordinates relative to the anchor (clamped start).
-    hoy = hiy - (sy - m)[None, :]
-    hox = hix - (sx - m)[None, :]
-    moy = miy - (sy - m)[None, :]
-    mox = mix - (sx - m)[None, :]
-
-    d2_default = 2.0 * ((k + 1) * res) ** 2
-    min_d2 = jnp.full((7,) + ranges.shape, d2_default, jnp.float32)
-    pb = jnp.broadcast_to(patches, (7,) + patches.shape)
-    for dy in range(-k, k + 1):
-        for dx in range(-k, k + 1):
-            hv = _extract_patch_value(pb, hoy + dy, hox + dx)
-            mv = _extract_patch_value(pb, moy + dy, mox + dx)
-            usable = (hv != gridops.UNKNOWN) & (mv != gridops.UNKNOWN) & \
-                     (hv >= occupancy_threshold) & \
-                     (mv <= occupancy_threshold)
-            d2 = (dx * dx + dy * dy) * res * res
-            min_d2 = jnp.where(usable, jnp.minimum(min_d2, d2), min_d2)
-
-    per_beam = -jnp.exp(-0.5 * min_d2 / variance) * beam_mask[None, :]
-    costs = per_beam.sum(axis=-1) * scaling_factor            # [7]
-
-    steps = jnp.stack([res, res, jnp.full((), diff_ang)])
-    grad = 0.5 * (costs[1:4] - costs[4:7]) / steps
-    cov = jnp.outer(grad, grad) + 0.01 * jnp.eye(3)
-    return costs[0], cov
-
-
 def greedy_endpoint_cost_and_covariance_fused(
         value_map, grid: gridops.GridMap, sensor_pose, ranges, angles,
         beam_mask, hit_and_missed_dist=0.075, occupancy_threshold=0.1,
