@@ -531,6 +531,14 @@ def bench_loop_bb(g, queries):
 
 
 def main():
+    # Force synchronous dispatch BEFORE anything queues device work: the
+    # axon tunnel has twice wedged while draining a large async backlog
+    # (BASELINE ops notes); in sync mode the workload build's raycast
+    # integrations execute one by one and nothing ever backlogs.
+    t0 = time.time()
+    np.asarray(jnp.ones((4, 4)) @ jnp.ones((4, 4)))
+    print(f"[bench] sync handshake: {time.time() - t0:.1f}s",
+          file=sys.stderr)
     t0 = time.time()
     g, queries = build_workload()
     print(f"[bench] workload: {time.time() - t0:.1f}s", file=sys.stderr)
