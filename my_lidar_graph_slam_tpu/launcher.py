@@ -16,7 +16,22 @@ import os
 import sys
 import time
 
-import numpy as np
+# Persistent compile cache: a SLAM run compiles dozens of bucketed-shape
+# programs (matcher, map update, detection, rebuilds); without the disk
+# cache every launcher invocation pays them all again (~260 s of the
+# first measured TPU run). Must be set before jax imports.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_mlgs")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+# A sitecustomize hook may import jax before this module, freezing the
+# env defaults — set the config explicitly as well.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
 
 from my_lidar_graph_slam_tpu.io import carmen, map_io, viz
 from my_lidar_graph_slam_tpu.sensor.data import RawScan
