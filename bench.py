@@ -531,10 +531,10 @@ def bench_loop_bb(g, queries):
 
 
 def main():
-    # Force synchronous dispatch BEFORE anything queues device work: the
-    # axon tunnel has twice wedged while draining a large async backlog
-    # (BASELINE ops notes); in sync mode the workload build's raycast
-    # integrations execute one by one and nothing ever backlogs.
+    # Warm up the runtime (device init + first-dispatch handshake) before
+    # any timed stage; dispatch stays async afterwards — the real wedge
+    # protection is that every timed iteration below ends in a blocking
+    # device->host transfer, so the queue never grows past one workload.
     t0 = time.time()
     np.asarray(jnp.ones((4, 4)) @ jnp.ones((4, 4)))
     print(f"[bench] sync handshake: {time.time() - t0:.1f}s",

@@ -272,6 +272,16 @@ class LoopDetectorBranchBound:
         from my_lidar_graph_slam_tpu.ops.pallas import correlate_mxu
         return correlate_mxu.available()
 
+    def _cost_kernel_ok(self, res: float) -> bool:
+        """Pallas cost-kernel envelope guard (ADVICE r4); see
+        CorrelativeMatcher._cost_kernel_ok."""
+        from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu
+        gp = dict(self.greedy_params)
+        return greedy_cost_mxu.envelope_ok(
+            res, self.usable_range_max,
+            gp.get("hit_and_missed_dist", 0.075),
+            gp.get("kernel_size", 1))
+
     def _detect_mxu(self, graph: PoseGraph, builder: mb.GridMapBuilder,
                     candidates: List[LoopCandidate]
                     ) -> List[LoopDetectionResult]:
@@ -367,7 +377,8 @@ class LoopDetectorBranchBound:
             win_x=win_x, win_y=win_y, win_theta_max=win_t,
             greedy_params=self.greedy_params,
             interpret=self.mxu_interpret,
-            score_gate="pixel_accurate")
+            score_gate="pixel_accurate",
+            cost_kernel_ok=self._cost_kernel_ok(float(cfg.resolution)))
         found = np.asarray(out.pose_found)
         for ci, cand in enumerate(candidates):
             anchor_pose = graph.poses[cand.local_map_node_idx]

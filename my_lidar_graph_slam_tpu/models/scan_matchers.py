@@ -65,7 +65,7 @@ def _unpack_summary(packed, initial_poses):
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "cost_type",
-                     "greedy_params", "interpret"))
+                     "greedy_params", "interpret", "cost_kernel_ok"))
 def _fused_mxu_match(log_odds, observed, origin, resolution,
                      initial_poses, ranges, angles, valid,
                      scan_min_range, scan_max_range, rel_sensor_poses,
@@ -74,7 +74,7 @@ def _fused_mxu_match(log_odds, observed, origin, resolution,
                      normalized_score_threshold, num_total_beams,
                      win_x: int, win_y: int, win_theta_max: int,
                      cost_type: str, greedy_params: tuple,
-                     interpret: bool):
+                     interpret: bool, cost_kernel_ok: bool = True):
     """One-dispatch gather-free frontend match: occupancy values + MXU
     tile build + full-window Pallas sweep fused into a single program.
 
@@ -97,7 +97,8 @@ def _fused_mxu_match(log_odds, observed, origin, resolution,
         normalized_score_threshold, num_total_beams,
         win_x=win_x, win_y=win_y, win_theta_max=win_theta_max,
         cost_type=cost_type, greedy_params=greedy_params,
-        interpret=interpret, score_gate="correlative")
+        interpret=interpret, score_gate="correlative",
+        cost_kernel_ok=cost_kernel_ok)
     return _pack_summary(summary, initial_poses.shape[0])
 
 
@@ -220,6 +221,18 @@ class CorrelativeMatcher:
         from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
         MetricManager.instance().counters(name).increment(n)
 
+    def _cost_kernel_ok(self, res: float) -> bool:
+        """Pallas cost-kernel envelope guard (ADVICE r4): the 32-row tile
+        covers any <=17-row read set; longer usable range or finer
+        resolution overflows it SILENTLY, so such configs must use the
+        host cost path."""
+        from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu
+        gp = dict(self.greedy_params)
+        return greedy_cost_mxu.envelope_ok(
+            res, self.usable_range_max,
+            gp.get("hit_and_missed_dist", 0.075),
+            gp.get("kernel_size", 1))
+
     def _match_mxu(self, grid, store, scan_ids, initial_poses,
                    win_x, win_y, win_t) -> matchers.MatchSummary:
         """MXU path for any Q: ONE fused dispatch (values + tile build +
@@ -244,7 +257,8 @@ class CorrelativeMatcher:
             jnp.asarray(store.raw_beams[ids], jnp.float32),
             win_x=win_x, win_y=win_y, win_theta_max=win_t,
             cost_type=self.cost_type, greedy_params=self.greedy_params,
-            interpret=self.mxu_interpret))
+            interpret=self.mxu_interpret,
+            cost_kernel_ok=self._cost_kernel_ok(float(grid.resolution))))
         self.last_exact_fraction = 1.0
         self._count("FrontendMxuMatches", len(ids))
         return _unpack_summary(packed, initial_poses)

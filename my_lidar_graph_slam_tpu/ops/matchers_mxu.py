@@ -125,7 +125,7 @@ def wide_padding_ratio(q: int, nt: int, nb: int, win_x: int, win_y: int,
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
                      "q_chunk", "cost_type", "greedy_params", "interpret",
-                     "score_gate", "mxu_dtype"))
+                     "score_gate", "mxu_dtype", "cost_kernel_ok"))
 def correlative_match_mxu_batch(value_map,
                                 tiles: cm.MxuTiles,
                                 grid: gridops.GridMap,
@@ -145,7 +145,8 @@ def correlative_match_mxu_batch(value_map,
                                 greedy_params: tuple = (),
                                 interpret: bool = False,
                                 score_gate: str = "correlative",
-                                mxu_dtype=jnp.float32
+                                mxu_dtype=jnp.float32,
+                                cost_kernel_ok: bool = True
                                 ) -> matchers.MatchSummary:
     """Q full-window correlative matches in ONE dispatch, gather-free.
 
@@ -179,7 +180,8 @@ def correlative_match_mxu_batch(value_map,
         range_theta, usable_range_min, usable_range_max,
         normalized_score_threshold, num_total_beams,
         win_x, win_y, win_theta_max, theta_chunk, q_chunk,
-        cost_type, greedy_params, interpret, score_gate, mxu_dtype)
+        cost_type, greedy_params, interpret, score_gate, mxu_dtype,
+        cost_kernel_ok)
 
 
 def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
@@ -189,7 +191,8 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
                    num_total_beams, win_x, win_y, win_theta_max,
                    theta_chunk, q_chunk, cost_type, greedy_params,
                    interpret, score_gate,
-                   mxu_dtype=jnp.float32) -> matchers.MatchSummary:
+                   mxu_dtype=jnp.float32,
+                   cost_kernel_ok: bool = True) -> matchers.MatchSummary:
     q, nb = ranges.shape
     n_total = jnp.asarray(num_total_beams, jnp.float32)
 
@@ -263,7 +266,8 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
         valid, ranges, usable_range_min, usable_range_max,
         scan_min_range[:, None], scan_max_range[:, None])
     gp = dict(greedy_params)
-    if cost_type == "greedy_endpoint" and gp.get("kernel_size", 1) == 1:
+    if cost_type == "greedy_endpoint" and gp.get("kernel_size", 1) == 1 \
+            and cost_kernel_ok:
         # Gather-free cost + covariance on the MXU (the per-match tail
         # was ~180 us/query of scalar gathers even after read dedup —
         # see ops/pallas/greedy_cost_mxu.py). The 32-row cost tiles are
@@ -304,7 +308,7 @@ def _match_one_map(value_map, tiles, grid, initial_poses, ranges, angles,
     jax.jit,
     static_argnames=("win_x", "win_y", "win_theta_max", "theta_chunk",
                      "q_chunk", "cost_type", "greedy_params", "interpret",
-                     "score_gate", "mxu_dtype"))
+                     "score_gate", "mxu_dtype", "cost_kernel_ok"))
 def correlative_match_mxu_multi(value_maps,
                                 tiles_stack,
                                 origins,
@@ -325,7 +329,8 @@ def correlative_match_mxu_multi(value_maps,
                                 greedy_params: tuple = (),
                                 interpret: bool = False,
                                 score_gate: str = "pixel_accurate",
-                                mxu_dtype=jnp.float32
+                                mxu_dtype=jnp.float32,
+                                cost_kernel_ok: bool = True
                                 ) -> matchers.MatchSummary:
     """M candidate maps x K nodes matched in ONE device dispatch.
 
@@ -356,5 +361,5 @@ def correlative_match_mxu_multi(value_maps,
             usable_range_max, normalized_score_threshold,
             num_total_beams[k], win_x, win_y, win_theta_max,
             theta_chunk, q_chunk, cost_type, greedy_params, interpret,
-            score_gate, mxu_dtype))
+            score_gate, mxu_dtype, cost_kernel_ok))
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)

@@ -95,6 +95,47 @@ def make_cost_tiles(value_map) -> CostTiles:
     return CostTiles(_make_cost_tiles(value_map, h, w))
 
 
+# Guaranteed tile coverage of a worst-aligned row extent: the per-beam
+# tile id is min_row // CSTRIDE_Y, so the tile start is at most
+# CSTRIDE_Y - 1 rows above min_row and covers min_row + (CTILE_Y -
+# CSTRIDE_Y) onward — any extent of up to CTILE_Y - CSTRIDE_Y + 1 rows
+# fits regardless of alignment.
+ENVELOPE_ROWS = CTILE_Y - CSTRIDE_Y + 1   # 17
+
+
+def cost_rows_needed(resolution: float, usable_range_max: float,
+                     hit_and_missed_dist: float = 0.075,
+                     kernel_size: int = 1) -> int:
+    """Worst-case row extent of one beam's read set (both endpoints,
+    all 7 poses), in cells.
+
+    Components: the +-1e-2 rad theta poses displace an endpoint by up to
+    ``r * 1e-2 / res`` cells in opposite directions (+1 for floor
+    rounding), each carrying a ``(2k+1)^2`` kernel; the base cells carry
+    the extended ``(2k+3)^2`` patch; the missed endpoint sits up to
+    ``hit_and_missed_dist / res`` cells (+1 floor slack) from the hit
+    endpoint. Default config (20 m, 0.05 m, k=1): 16 rows.
+    """
+    import math
+    v = math.ceil(usable_range_max * 1e-2 / resolution) + 1
+    half = max(kernel_size + 1, v + kernel_size)
+    sep = math.ceil(hit_and_missed_dist / resolution) + 1
+    return 2 * half + sep + 1
+
+
+def envelope_ok(resolution: float, usable_range_max: float,
+                hit_and_missed_dist: float = 0.075,
+                kernel_size: int = 1) -> bool:
+    """True when the Pallas cost kernel's single-tile-per-beam contract
+    holds for this config. When False the caller must use the host path
+    (``cost.greedy_endpoint_cost_and_covariance_fused``): out-of-tile
+    one-hot rows silently read 0 (Unknown) and would bias cost and
+    covariance with no error raised."""
+    return kernel_size == 1 and cost_rows_needed(
+        resolution, usable_range_max, hit_and_missed_dist,
+        kernel_size) <= ENVELOPE_ROWS
+
+
 def _selector_matrix() -> np.ndarray:
     """Static (128, 3*128) class-count selector: G[l, c*128 + p] = 1 iff
     usable-flag lane l maps to distance class c for pose p (k=1)."""

@@ -614,3 +614,38 @@ def test_fused_greedy_cost_cov_matches_naive(scene):
             np.testing.assert_allclose(np.asarray(cov_f),
                                        np.asarray(cov_ref),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_fused_greedy_cost_cov_boundary_straddling(scene):
+    """Deliberately boundary-straddling case (ADVICE r4): pose position
+    and ranges quantized to exact cell multiples put beam endpoints ON
+    floor boundaries, where the fused path's integer-shift derivation of
+    the +-res poses' cells is most stressed. Axis-aligned beams (angle 0,
+    +-pi/2, pi) keep the endpoints exactly on the lattice."""
+    from my_lidar_graph_slam_tpu.ops import cost as costops
+
+    g, segs, beam_angles, vals = scene
+    res = float(g.resolution)
+    n = 64
+    ranges = np.zeros(NB, np.float32)
+    angles = np.zeros(NB, np.float32)
+    mask = np.zeros(NB, np.float32)
+    # Exact cell-multiple ranges along the four axis directions.
+    ranges[:n] = res * (20 + 3 * np.arange(n))
+    angles[:n] = np.tile([0.0, np.pi / 2, np.pi, -np.pi / 2], n // 4)
+    mask[:n] = 1.0
+    for px, py in [(0.0, 0.0), (res * 4, -res * 7), (res * 0.5, res * 0.5)]:
+        p = np.array([px, py, 0.0])
+        pj = jnp.asarray(p, jnp.float32)
+        rj, aj, mj = jnp.asarray(ranges), jnp.asarray(angles), \
+            jnp.asarray(mask)
+        c_ref = costops.greedy_endpoint_cost(
+            vals, g, pj, rj, aj, mj, kernel_size=1)
+        cov_ref = costops.greedy_endpoint_covariance(
+            vals, g, pj, rj, aj, mj, kernel_size=1)
+        c_f, cov_f = costops.greedy_endpoint_cost_and_covariance_fused(
+            vals, g, pj, rj, aj, mj, kernel_size=1)
+        np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_ref),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_ref),
+                                   rtol=1e-5, atol=1e-7)

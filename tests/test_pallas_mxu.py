@@ -312,3 +312,84 @@ def test_greedy_cost_cov_mxu_matches_fused():
         np.testing.assert_allclose(np.asarray(cov_k[qi]),
                                    np.asarray(cov_ref),
                                    rtol=1e-4, atol=1e-8)
+
+
+def test_cost_kernel_envelope_guard():
+    """ADVICE r4 (medium): the cost kernel's single-tile contract holds
+    only while a beam's worst-case read set fits ENVELOPE_ROWS; configs
+    past the envelope (longer usable range, finer resolution) must be
+    rejected so callers fall back to the host path."""
+    from my_lidar_graph_slam_tpu.models.scan_matchers import \
+        CorrelativeMatcher
+    from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu as gc
+
+    # Default launcher config fits (measured round 4 on hardware).
+    assert gc.envelope_ok(0.05, 20.0, 0.075, 1)
+    assert gc.cost_rows_needed(0.05, 20.0, 0.075, 1) == 16
+    # Longer usable range overflows the 17-row coverage.
+    assert not gc.envelope_ok(0.05, 40.0, 0.075, 1)
+    # Finer resolution at the same range overflows too.
+    assert not gc.envelope_ok(0.025, 20.0, 0.075, 1)
+    # Non-default kernel size is host-path only regardless.
+    assert not gc.envelope_ok(0.05, 20.0, 0.075, 2)
+
+    # The matcher wrapper derives the flag from its own config.
+    m = CorrelativeMatcher()
+    assert m._cost_kernel_ok(0.05)
+    m_long = CorrelativeMatcher(usable_range_max=40.0)
+    assert not m_long._cost_kernel_ok(0.05)
+
+
+def test_mxu_match_out_of_envelope_falls_back_to_host_cost():
+    """cost_kernel_ok=False must route the cost/covariance stage to the
+    host path and still produce a correct match (same argmax, host-path
+    cost numbers)."""
+    from my_lidar_graph_slam_tpu.io import synth
+    from my_lidar_graph_slam_tpu.ops import grid as gridops, raycast
+    from my_lidar_graph_slam_tpu.ops import matchers_mxu
+
+    RES = 0.05
+    NB = 192
+    segs = synth.default_world()
+    beam = np.linspace(-np.pi / 2, np.pi / 2, 181)
+    g = gridops.empty(512, 512, RES, center=np.array([0.0, 0.0]))
+    p0 = np.array([0.0, 0.0, 0.3])
+    r = synth.raycast_segments(p0[:2], p0[2] + beam, segs, 20.0)
+    ranges = np.zeros(NB, np.float32)
+    angles = np.zeros(NB, np.float32)
+    valid = np.zeros(NB, bool)
+    ranges[:181] = r
+    angles[:181] = beam
+    valid[:181] = True
+    g = raycast.integrate_scan(
+        g, jnp.asarray(p0, jnp.float32), jnp.asarray(ranges),
+        jnp.asarray(angles), jnp.asarray(valid), 0.01, 20.0, max_steps=448)
+
+    vals = gridops.values(g)
+    tiles = matchers_mxu.make_tiles(vals)
+    args = dict(
+        initial_poses=jnp.asarray(p0, jnp.float32)[None, :],
+        ranges=jnp.asarray(ranges)[None], angles=jnp.asarray(angles)[None],
+        valid=jnp.asarray(valid)[None],
+        scan_min_range=jnp.asarray([0.01], jnp.float32),
+        scan_max_range=jnp.asarray([20.0], jnp.float32),
+        rel_sensor_poses=jnp.zeros((1, 3), jnp.float32),
+        scan_range_max=jnp.asarray(20.0, jnp.float32),
+        range_theta=jnp.asarray(0.25, jnp.float32),
+        usable_range_min=jnp.asarray(0.01, jnp.float32),
+        usable_range_max=jnp.asarray(20.0, jnp.float32),
+        normalized_score_threshold=jnp.asarray(0.0, jnp.float32),
+        num_total_beams=jnp.asarray([181.0], jnp.float32),
+        win_x=2, win_y=2, win_theta_max=8, interpret=True)
+    on = matchers_mxu.correlative_match_mxu_batch(
+        vals, tiles, g, cost_kernel_ok=True, **args)
+    off = matchers_mxu.correlative_match_mxu_batch(
+        vals, tiles, g, cost_kernel_ok=False, **args)
+    np.testing.assert_array_equal(np.asarray(on.estimated_pose),
+                                  np.asarray(off.estimated_pose))
+    np.testing.assert_allclose(np.asarray(on.normalized_cost),
+                               np.asarray(off.normalized_cost),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(on.covariance),
+                               np.asarray(off.covariance),
+                               rtol=1e-4, atol=1e-7)
