@@ -14,6 +14,7 @@ Prints ONE JSON line:
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -351,18 +352,31 @@ def bench_cpp(g, queries):
                  np.float32).tofile(f)
         np.array([LOW_RES], np.int32).tofile(f)
 
-    # Median of 5 independent runs (the baseline swung +-30% between
-    # rounds with single runs under varying host load); spread recorded.
+    # Median of 5 independent runs, each PINNED to one core with taskset
+    # (VERDICT r4 weak #7: unpinned runs swung +-30% under session load
+    # and the spread decided the headline); host load is recorded
+    # alongside so every vs_baseline number carries its conditions.
+    pin = []
+    if shutil.which("taskset"):
+        ncpu = os.cpu_count() or 1
+        pin = ["taskset", "-c", str(ncpu - 1)]
     rates = []
     for _ in range(5):
-        out = subprocess.run([exe, wl_path, "3"], capture_output=True,
-                             text=True, check=True)
+        out = subprocess.run(pin + [exe, wl_path, "3"],
+                             capture_output=True, text=True, check=True)
         rates.append(json.loads(out.stdout.strip())["matches_per_sec"])
     rates.sort()
     results = np.fromfile(wl_path + ".out.bin",
                           np.float32).reshape(-1, 4)
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg = float(f.read().split()[0])
+    except OSError:
+        loadavg = -1.0
+    protocol = {"cpu_affinity": pin[2] if pin else "unpinned",
+                "loadavg_1m": loadavg, "runs": len(rates)}
     return rates[len(rates) // 2], results, \
-        [round(rates[0], 1), round(rates[-1], 1)]
+        [round(rates[0], 1), round(rates[-1], 1)], protocol
 
 
 def bench_posegraph():
@@ -548,7 +562,7 @@ def main():
     tpu_mps, tpu_poses, tpu_scores, tpu_extra = bench_tpu(g, queries)
     print(f"[bench] tpu: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    cpp_mps, cpp_results, cpp_spread = bench_cpp(g, queries)
+    cpp_mps, cpp_results, cpp_spread, cpp_protocol = bench_cpp(g, queries)
     print(f"[bench] cpp: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
@@ -584,6 +598,7 @@ def main():
             "platform": platform,
             "cpp_baseline_matches_per_s": round(cpp_mps, 2),
             "cpp_baseline_spread": cpp_spread,
+            "cpp_baseline_protocol": cpp_protocol,
             "argmax_agreement": round(float(agree), 3),
             "mean_normalized_score": round(float(tpu_scores.mean()), 3),
             "num_queries": len(queries),

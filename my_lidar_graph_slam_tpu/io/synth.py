@@ -254,6 +254,36 @@ def killian_waypoints(laps: int = 1) -> np.ndarray:
     return rotate_points(wps, WORLD_ROTATION)
 
 
+def mini_world() -> np.ndarray:
+    """A 12 x 8 m single-corridor office loop — small enough for
+    interpret-mode CI tests at 0.1 m resolution."""
+    segs = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    box(-6.0, -4.0, 6.0, 4.0)       # outer shell
+    box(-3.0, -1.5, 3.0, 1.5)       # central block -> loop corridor
+    # Corner features breaking longitudinal corridor ambiguity.
+    box(4.8, -3.6, 5.2, -3.2)
+    box(-5.2, 3.0, -4.8, 3.4)
+    box(-0.2, -3.8, 0.2, -3.4)
+    box(0.6, 3.2, 1.0, 3.6)
+    return _rotate_segments(np.asarray(segs, np.float64), WORLD_ROTATION)
+
+
+def mini_loop_waypoints() -> np.ndarray:
+    """One chamfered lap of :func:`mini_world` plus a revisit leg."""
+    wps = np.array([
+        [-4.5, -2.7], [3.8, -2.7], [4.5, -2.0],
+        [4.5, 2.0], [3.8, 2.7],
+        [-3.8, 2.7], [-4.5, 2.0],
+        [-4.5, -1.9], [-3.8, -2.6], [0.0, -2.6], [2.0, -2.6],
+    ])
+    return rotate_points(wps, WORLD_ROTATION)
+
+
 def loop_waypoints() -> np.ndarray:
     """A chamfered rectangular loop through :func:`default_world`'s corridor.
 
@@ -415,21 +445,68 @@ def simulate(world: np.ndarray | None = None,
 
 
 def write_carmen_log(path: str, scans: List[RawScan],
-                     max_range: float = 20.0) -> None:
-    """Write scans as old-format FLASER records plus laser PARAMs."""
+                     max_range: float = 20.0,
+                     fmt: str = "flaser") -> None:
+    """Write scans in one of the CARMEN record families the reader
+    supports (carmen_reader.cpp:506-530):
+
+    * ``"flaser"`` — old-format FLASER records plus laser PARAMs
+      (angles derived from the PARAM geometry, carmen_reader.cpp:354-377).
+    * ``"robotlaser"`` — new-format ROBOTLASER1 records carrying the
+      laser geometry and the laser/robot poses inline
+      (carmen_reader.cpp:239-316).
+    * ``"rawlaser"`` — new-format RAWLASER1 records (geometry + ranges,
+      NO pose — the reference leaves the odometry pose zero,
+      carmen_reader.cpp:163-236) interleaved with ODOM records carrying
+      the robot odometry (carmen_reader.cpp:135-160).
+    """
+    incr = scans[0].angles[1] - scans[0].angles[0]
+    fov = incr * (scans[0].num_beams - 1)
     with open(path, "w") as f:
-        f.write("PARAM Laser.MaxRange %.2f\n" % max_range)
-        f.write("PARAM Laser.MinAngle %.6f\n" % scans[0].min_angle)
-        f.write("PARAM Laser.AngleIncrement %.9f\n" %
-                (scans[0].angles[1] - scans[0].angles[0]))
+        if fmt == "flaser":
+            f.write("PARAM Laser.MaxRange %.2f\n" % max_range)
+            f.write("PARAM Laser.MinAngle %.6f\n" % scans[0].min_angle)
+            f.write("PARAM Laser.AngleIncrement %.9f\n" % incr)
         for s in scans:
-            parts = ["FLASER", str(s.num_beams)]
-            parts.extend("%.3f" % r for r in s.ranges)
-            # Sensor frame == robot frame in the simulator.
-            parts.extend("%.6f" % v for v in s.odom_pose)
-            parts.extend("%.6f" % v for v in s.odom_pose)
-            parts.extend(["%.6f" % s.timestamp, "synth",
-                          "%.6f" % s.timestamp])
+            if fmt == "flaser":
+                parts = ["FLASER", str(s.num_beams)]
+                parts.extend("%.3f" % r for r in s.ranges)
+                # Sensor frame == robot frame in the simulator.
+                parts.extend("%.6f" % v for v in s.odom_pose)
+                parts.extend("%.6f" % v for v in s.odom_pose)
+                parts.extend(["%.6f" % s.timestamp, "synth",
+                              "%.6f" % s.timestamp])
+            elif fmt == "robotlaser":
+                # laser_type start_angle fov ang_res max_range accuracy
+                # remission_mode num ranges... laser_pose robot_pose
+                # tv rv fwd_safety side_safety turn_axis ts host logger_ts
+                parts = ["ROBOTLASER1", "0", "%.6f" % s.min_angle,
+                         "%.6f" % fov, "%.9f" % incr,
+                         "%.2f" % max_range, "0.01", "0",
+                         str(s.num_beams)]
+                parts.extend("%.3f" % r for r in s.ranges)
+                parts.extend("%.6f" % v for v in s.odom_pose)  # laser pose
+                parts.extend("%.6f" % v for v in s.odom_pose)  # robot pose
+                parts.extend(["0.0", "0.0", "0.0", "0.0", "0.0"])
+                parts.extend(["%.6f" % s.timestamp, "synth",
+                              "%.6f" % s.timestamp])
+            elif fmt == "rawlaser":
+                odom = ["ODOM"]
+                odom.extend("%.6f" % v for v in s.odom_pose)
+                odom.extend(["0.0", "0.0", "0.0",
+                             "%.6f" % s.timestamp, "synth",
+                             "%.6f" % s.timestamp])
+                f.write(" ".join(odom) + "\n")
+                parts = ["RAWLASER1", "0", "%.6f" % s.min_angle,
+                         "%.6f" % fov, "%.9f" % incr,
+                         "%.2f" % max_range, "0.01", "0",
+                         str(s.num_beams)]
+                parts.extend("%.3f" % r for r in s.ranges)
+                parts.append("0")  # no remissions
+                parts.extend(["%.6f" % s.timestamp, "synth",
+                              "%.6f" % s.timestamp])
+            else:
+                raise ValueError(f"unknown log format: {fmt}")
             f.write(" ".join(parts) + "\n")
 
 

@@ -49,7 +49,9 @@ def run(log_path: str, settings_path: str, output: str,
         multihost: bool = False,
         mesh_devices: int = 0,
         profile_dir: str = "",
-        platform: str = "") -> dict:
+        platform: str = "",
+        replay_chunk: int = 0,
+        attach_odom: bool = False) -> dict:
     """Run the full pipeline; returns summary stats.
 
     ``multihost`` initializes jax.distributed (coordinator from the
@@ -71,10 +73,28 @@ def run(log_path: str, settings_path: str, output: str,
         mesh = mesh_mod.make_mesh(mesh_devices, axis="shard")
     metrics = MetricManager.instance()
     cfg = config_mod.load(settings_path)
+    if replay_chunk:
+        # Replay mode is a synchronous batch pipeline: backend passes are
+        # coalesced to chunk boundaries (models/replay.py).
+        threaded_backend = False
     slam_obj = config_mod.create_slam(cfg, threaded_backend=threaded_backend,
                                       mesh=mesh)
 
     records = carmen.load(log_path)
+    if attach_odom:
+        # RAWLASER records carry no pose (the reference leaves it zero
+        # and ignores ODOM records entirely, carmen_reader.cpp:163-236 +
+        # slam_launcher.cpp:966-976, making RAWLASER-only logs unusable);
+        # this extension stamps each scan with the most recent ODOM pose
+        # so RAWLASER+ODOM logs drive the full pipeline.
+        from my_lidar_graph_slam_tpu.sensor.data import OdometryData
+        last_odom = None
+        for r in records:
+            if isinstance(r, OdometryData):
+                last_odom = r
+            elif isinstance(r, RawScan) and last_odom is not None and \
+                    not np.any(r.odom_pose):
+                r.odom_pose = last_odom.pose.copy()
     scan_records = [r for r in records if isinstance(r, RawScan)]
     if max_scans:
         scan_records = scan_records[:max_scans]
@@ -94,16 +114,27 @@ def run(log_path: str, settings_path: str, output: str,
 
     slam_obj.start_backend()
     t0 = time.time()
-    for scan in scan_records:
-        t1 = time.time()
-        updated = slam_obj.process_scan(scan, scan.odom_pose)
-        if updated:
-            metrics.distributions("FrontendScanTime").observe(
-                time.time() - t1)
-            if gui_interval and \
-                    slam_obj.process_count % gui_interval == 0:
+    if replay_chunk:
+        from my_lidar_graph_slam_tpu.models.replay import ReplayRunner
+        runner = ReplayRunner(slam_obj, chunk=replay_chunk)
+
+        def progress(count):
+            if gui_interval and count % gui_interval < replay_chunk:
                 viz.draw_pose_graph(slam_obj.graph, output + ".live.png")
-        metrics.counters("ProcessedScans").increment()
+
+        runner.run(scan_records, progress_cb=progress)
+        metrics.counters("ProcessedScans").increment(len(scan_records))
+    else:
+        for scan in scan_records:
+            t1 = time.time()
+            updated = slam_obj.process_scan(scan, scan.odom_pose)
+            if updated:
+                metrics.distributions("FrontendScanTime").observe(
+                    time.time() - t1)
+                if gui_interval and \
+                        slam_obj.process_count % gui_interval == 0:
+                    viz.draw_pose_graph(slam_obj.graph, output + ".live.png")
+            metrics.counters("ProcessedScans").increment()
     elapsed = time.time() - t0
     slam_obj.stop_backend()
     if profile_ctx is not None:
@@ -200,6 +231,16 @@ def main():
                              "to this directory (TensorBoard-loadable)")
     parser.add_argument("--platform", default="",
                         help="force a JAX backend (e.g. cpu)")
+    parser.add_argument("--replay-chunk", type=int, default=0,
+                        help="device-resident chunked replay: run K "
+                             "keyframes' match chain per dispatch "
+                             "(amortizes the dispatch round trip; "
+                             "backend passes coalesce to chunk "
+                             "boundaries)")
+    parser.add_argument("--attach-odom", action="store_true",
+                        help="stamp pose-less RAWLASER scans with the "
+                             "most recent ODOM pose (extension; the "
+                             "reference leaves them zero)")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -213,7 +254,9 @@ def main():
         multihost=args.multihost,
         mesh_devices=args.mesh_devices,
         profile_dir=args.profile,
-        platform=args.platform)
+        platform=args.platform,
+        replay_chunk=args.replay_chunk,
+        attach_odom=args.attach_odom)
 
 
 if __name__ == "__main__":

@@ -128,6 +128,83 @@ class LoopSearcherNearest:
             local_map_node_idx=best)
             for _, map_idx, best in per_map]
 
+    def search_window(self, graph: PoseGraph, builder: mb.GridMapBuilder,
+                      window_nodes) -> List[LoopCandidate]:
+        """Replay-mode candidate search: any of ``window_nodes`` (the
+        nodes appended since the last backend pass) may trigger a
+        candidate, not just the latest node.
+
+        The online searcher samples the revisit question once per pass at
+        the CURRENT pose (loop_searcher_nearest.cpp:44-78); replay
+        coalesces several passes into one chunk boundary, so the robot
+        can pass within ``node_dist_max`` of an old map mid-chunk and be
+        gone again by the boundary. Per finished map this takes the
+        closest (window node, map node) pair and anchors the candidate
+        window around the TRIGGERING node — each candidate is exactly
+        what the online searcher would have emitted at that node's pass.
+        The recency guard uses the boundary-time accumulated travel
+        (conservative toward more eligibility by at most one chunk of
+        travel).
+        """
+        maps = builder.local_maps
+        n_nodes = graph.num_nodes
+        if not maps or n_nodes == 0 or len(maps) < 2:
+            return []
+        window_nodes = np.asarray(
+            [n for n in window_nodes if n < n_nodes], np.int64)
+        if window_nodes.size == 0:
+            return []
+        poses = graph.node_poses()
+
+        seg = np.hypot(*(np.diff(poses[:, :2], axis=0).T))
+        travel = np.concatenate([[0.0], np.cumsum(seg)])
+        accum = builder.accum_travel_dist
+        last_finished_max = maps[-2].node_idx_max
+        node_ids = np.arange(n_nodes)
+        eligible = (node_ids <= last_finished_max) & \
+            (accum - travel >= self.travel_dist_threshold)
+        if not eligible.any():
+            return []
+        w_xy = poses[window_nodes][:, :2]              # [W, 2]
+
+        per_map = []
+        for m in maps[:-1]:
+            lo_n, hi_n = m.node_idx_min, m.node_idx_max
+            if hi_n < lo_n:
+                continue
+            seg_el = eligible[lo_n:hi_n + 1]
+            if not seg_el.any():
+                continue
+            seg_xy = poses[lo_n:hi_n + 1, :2]          # [S, 2]
+            d2 = ((w_xy[:, None, :] - seg_xy[None, :, :]) ** 2).sum(-1)
+            d2 = np.where(seg_el[None, :], d2, np.inf)
+            flat = int(np.argmin(d2))
+            wi, b = flat // d2.shape[1], flat % d2.shape[1]
+            if d2[wi, b] < self.node_dist_max ** 2:
+                per_map.append((float(d2[wi, b]), m.idx, lo_n + b,
+                                int(window_nodes[wi])))
+        if not per_map:
+            return []
+        per_map.sort()
+        per_map = per_map[:max(1, self.num_candidate_maps)]
+
+        out = []
+        for _, map_idx, best, trigger in per_map:
+            # Window clamped to the trigger node's own local map span —
+            # the online equivalent clamps to the latest map because the
+            # trigger IS the latest node (loop_searcher_nearest.cpp:
+            # 90-102).
+            span = next(m for m in maps
+                        if m.node_idx_min <= trigger <= m.node_idx_max)
+            lo = max(span.node_idx_min, trigger - self.num_candidate_nodes)
+            hi = min(span.node_idx_max, trigger + self.num_candidate_nodes,
+                     n_nodes - 1)
+            out.append(LoopCandidate(
+                node_indices=list(range(lo, hi + 1)),
+                local_map_idx=map_idx,
+                local_map_node_idx=best))
+        return out
+
 
 def _bucket_batch(n: int) -> int:
     """Pad batch sizes to power-of-two buckets so recompiles stay rare."""
@@ -434,6 +511,10 @@ class LoopDetectorBranchBound:
                 node_height_max=self.node_height_max,
                 win_x=win_x, win_y=win_y, win_theta_max=win_t,
                 frontier_cap=self.frontier_cap)
+            # Under a multi-process mesh the sharded output spans
+            # non-addressable devices; gather it globally.
+            from my_lidar_graph_slam_tpu.parallel import multihost
+            out = multihost.fetch_global(out)
             found = np.asarray(out.pose_found)
             for row, node_idx in enumerate(nodes):
                 if not bool(found[row]):
@@ -470,39 +551,52 @@ class LoopDetectorCorrelative:
         from my_lidar_graph_slam_tpu.ops import correlative_coarse
 
         results: List[LoopDetectionResult] = []
-        cfg = builder.config
         for cand in candidates:
             lm = builder.local_maps[cand.local_map_idx]
             coarse = correlative_coarse.coarse_map_for(
                 builder, lm, self.low_resolution)
             anchor_pose = graph.poses[cand.local_map_node_idx]
-            for node_idx in cand.node_indices:
-                scan_id = int(graph.scan_ids[node_idx])
-                summary, exact = correlative_coarse.two_stage_match(
-                    coarse, gridops.values(lm.grid), lm.grid,
-                    jnp.asarray(graph.poses[node_idx], jnp.float32),
-                    low_resolution=self.low_resolution,
-                    range_x=self.range_x, range_y=self.range_y,
-                    range_theta=self.range_theta,
-                    scan_range_max=self.scan_range_max,
-                    usable_range_min=self.usable_range_min,
-                    usable_range_max=self.usable_range_max,
-                    score_threshold=self.score_threshold,
-                    refine_blocks=self.refine_blocks,
-                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
-                    greedy_params=self.greedy_params,
-                    scan_store=builder.scans, scan_id=scan_id)
-                self.last_exact = exact
-                if summary is None or not bool(summary.pose_found):
+
+            # All candidate nodes in ONE dispatch (round 5 — the per-node
+            # loop cost a ~37 ms device round trip per node; the batched
+            # vmap program is identical math per node). Padded rows
+            # (all-invalid scans) score 0 -> not found.
+            nodes = list(cand.node_indices)
+            k = _bucket_batch(len(nodes))
+            ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
+            idsp = np.concatenate([ids, np.zeros(k - len(nodes), ids.dtype)])
+            poses = np.zeros((k, 3), np.float32)
+            poses[:len(nodes)] = graph.poses[nodes]
+
+            summary, exact = correlative_coarse.two_stage_match_batch(
+                coarse, gridops.values(lm.grid), lm.grid, poses,
+                low_resolution=self.low_resolution,
+                range_x=self.range_x, range_y=self.range_y,
+                range_theta=self.range_theta,
+                scan_range_max=self.scan_range_max,
+                usable_range_min=self.usable_range_min,
+                usable_range_max=self.usable_range_max,
+                score_threshold=self.score_threshold,
+                refine_blocks=self.refine_blocks,
+                num_total_beams=np.maximum(
+                    builder.scans.raw_beams[idsp], 1),
+                greedy_params=self.greedy_params,
+                scan_store=builder.scans, scan_ids=idsp)
+            found = np.asarray(summary.pose_found)
+            self.last_exact = bool(np.asarray(exact)[:len(nodes)].all())
+            for row, node_idx in enumerate(nodes):
+                if not bool(found[row]):
                     continue
-                matched = np.asarray(summary.estimated_pose, np.float64)
+                matched = np.asarray(summary.estimated_pose[row],
+                                     np.float64)
                 rel = se2.inverse_compound_np(anchor_pose, matched)
                 results.append(LoopDetectionResult(
                     relative_pose=rel,
                     start_node_pose=anchor_pose.copy(),
                     start_node_idx=cand.local_map_node_idx,
                     end_node_idx=node_idx,
-                    covariance=np.asarray(summary.covariance, np.float64)))
+                    covariance=np.asarray(summary.covariance[row],
+                                          np.float64)))
         return results
 
 
@@ -527,38 +621,55 @@ class LoopDetectorGridSearch:
         nx = 2 * int(np.floor(0.5 * self.range_x / self.step_x)) + 1
         ny = 2 * int(np.floor(0.5 * self.range_y / self.step_y)) + 1
         nt = 2 * int(np.floor(0.5 * self.range_theta / self.step_theta)) + 1
+        st = builder.scans
         for cand in candidates:
             lm = builder.local_maps[cand.local_map_idx]
             vals = gridops.values(lm.grid)
             anchor_pose = graph.poses[cand.local_map_node_idx]
-            for node_idx in cand.node_indices:
-                scan_id = int(graph.scan_ids[node_idx])
-                summary = matchers.grid_search_match(
-                    vals, lm.grid,
-                    jnp.asarray(graph.poses[node_idx], jnp.float32),
-                    usable_range_min=jnp.asarray(self.usable_range_min,
-                                                 jnp.float32),
-                    usable_range_max=jnp.asarray(self.usable_range_max,
-                                                 jnp.float32),
-                    normalized_score_threshold=jnp.asarray(
-                        self.score_threshold, jnp.float32),
-                    step_x=jnp.asarray(self.step_x, jnp.float32),
-                    step_y=jnp.asarray(self.step_y, jnp.float32),
-                    step_t=jnp.asarray(self.step_theta, jnp.float32),
-                    nx=nx, ny=ny, nt=nt,
-                    num_total_beams=int(builder.scans.raw_beams[scan_id]),
-                    greedy_params=self.greedy_params,
-                    **_scan_args(builder.scans, scan_id))
-                if not bool(summary.pose_found):
+
+            # All candidate nodes in ONE dispatch (round 5; the reference
+            # loops per node, loop_detector_grid_search.cpp:62-89 — each
+            # iteration a ~37 ms device round trip here).
+            nodes = list(cand.node_indices)
+            k = _bucket_batch(len(nodes))
+            ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
+            idsp = np.concatenate([ids, np.zeros(k - len(nodes), ids.dtype)])
+            poses = np.zeros((k, 3), np.float32)
+            poses[:len(nodes)] = graph.poses[nodes]
+
+            summary = matchers.grid_search_match_batch(
+                vals, lm.grid, jnp.asarray(poses),
+                jnp.asarray(st.ranges[idsp]), jnp.asarray(st.angles[idsp]),
+                jnp.asarray(st.valid[idsp]),
+                jnp.asarray(st.min_range[idsp]),
+                jnp.asarray(st.max_range[idsp]),
+                jnp.asarray(st.rel_sensor_pose[idsp]),
+                usable_range_min=jnp.asarray(self.usable_range_min,
+                                             jnp.float32),
+                usable_range_max=jnp.asarray(self.usable_range_max,
+                                             jnp.float32),
+                normalized_score_threshold=jnp.asarray(
+                    self.score_threshold, jnp.float32),
+                step_x=jnp.asarray(self.step_x, jnp.float32),
+                step_y=jnp.asarray(self.step_y, jnp.float32),
+                step_t=jnp.asarray(self.step_theta, jnp.float32),
+                num_total_beams=np.maximum(st.raw_beams[idsp], 1),
+                nx=nx, ny=ny, nt=nt,
+                greedy_params=self.greedy_params)
+            found = np.asarray(summary.pose_found)
+            for row, node_idx in enumerate(nodes):
+                if not bool(found[row]):
                     continue
-                matched = np.asarray(summary.estimated_pose, np.float64)
+                matched = np.asarray(summary.estimated_pose[row],
+                                     np.float64)
                 rel = se2.inverse_compound_np(anchor_pose, matched)
                 results.append(LoopDetectionResult(
                     relative_pose=rel,
                     start_node_pose=anchor_pose.copy(),
                     start_node_idx=cand.local_map_node_idx,
                     end_node_idx=node_idx,
-                    covariance=np.asarray(summary.covariance, np.float64)))
+                    covariance=np.asarray(summary.covariance[row],
+                                          np.float64)))
         return results
 
 

@@ -398,6 +398,70 @@ class GridMapBuilder:
                 max_steps=steps)
         return grid
 
+    def append_scans_chunk(self, graph: PoseGraph, first_node: int,
+                           count: int):
+        """Batched AppendScan for ``count`` new nodes (replay mode).
+
+        Walks the new nodes in order applying the exact per-scan local-map
+        bookkeeping (travel accumulation, travel-threshold and early-split
+        decisions — ``_update_local_maps``), but groups consecutive nodes
+        that land in the same local map and integrates each group with ONE
+        ``integrate_scans`` dispatch, then rebuilds the latest map once at
+        the final node — replacing ``count`` per-keyframe fused dispatches
+        with ~2 (the ~37 ms tunnel round trip per dispatch dominated the
+        TPU frontend, BASELINE r4).
+        """
+        cfg = self.config
+        groups = []  # [(local_map, [consecutive node indices])]
+        for node_idx in range(first_node, first_node + count):
+            robot_pose = graph.poses[node_idx]
+            scan_id = int(graph.scan_ids[node_idx])
+
+            if self.local_maps:
+                rel = se2.inverse_compound_np(self.last_robot_pose,
+                                              robot_pose)
+                d = float(np.hypot(rel[0], rel[1]))
+                self.accum_travel_dist += d
+                self.travel_dist_last_local_map += d
+            self.last_robot_pose = robot_pose.copy()
+
+            create_new = (not self.local_maps) or \
+                (self.travel_dist_last_local_map >= cfg.travel_dist_threshold)
+            if not create_new and not self._scan_fits(
+                    self.local_maps[-1].grid, robot_pose, scan_id):
+                from my_lidar_graph_slam_tpu.utils.metrics import \
+                    MetricManager
+                MetricManager.instance().counters(
+                    "LocalMapEarlySplits").increment()
+                create_new = True
+            if create_new:
+                if self.local_maps:
+                    self.local_maps[-1].finished = True
+                g = gridops.empty(cfg.local_map_size, cfg.local_map_size,
+                                  cfg.resolution, center=robot_pose[:2])
+                self.local_maps.append(LocalMap(
+                    idx=len(self.local_maps), grid=g,
+                    node_idx_min=node_idx, node_idx_max=node_idx))
+                self.travel_dist_last_local_map = 0.0
+            lm = self.local_maps[-1]
+            if groups and groups[-1][0] is lm:
+                groups[-1][1].append(node_idx)
+            else:
+                groups.append((lm, [node_idx]))
+            lm.node_idx_max = node_idx
+            row = np.asarray(robot_pose, np.float64)[None, :]
+            lm.built_poses = row if lm.built_poses is None else \
+                np.concatenate([lm.built_poses, row])
+            lm.pyramid = None
+            lm.mxu_tiles = None
+
+        # One batched integration per (local map, node run) group.
+        for lm, nodes in groups:
+            lm.grid = self._construct_from_nodes(
+                lm.grid, graph, nodes[0], nodes[-1])
+
+        self._update_latest_map(graph)
+
     # -- loop closure --------------------------------------------------------
 
     def after_loop_closure(self, graph: PoseGraph):

@@ -174,8 +174,15 @@ class Backend:
             return optimizer_host.optimize_host(snapshot, self.lm_config)
         return optimizer_lm.optimize(snapshot, self.lm_config)
 
-    def run_once(self, slam: "LidarGraphSlam") -> int:
-        """One backend pass; returns the number of accepted loop edges."""
+    def run_once(self, slam: "LidarGraphSlam",
+                 window_nodes=None) -> int:
+        """One backend pass; returns the number of accepted loop edges.
+
+        ``window_nodes``: replay mode passes the nodes appended since the
+        last pass so any of them can trigger a candidate
+        (``LoopSearcherNearest.search_window``); online mode searches
+        from the latest node only, exactly like the reference.
+        """
         import time as _time
 
         from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
@@ -185,7 +192,11 @@ class Backend:
         # under the lock like the reference's GetLoopSearchHint
         # (lidar_graph_slam.cpp:103-152) — pure NumPy, microseconds.
         with slam._lock:
-            candidates = self.searcher.search(slam.graph, slam.builder)
+            if window_nodes is not None:
+                candidates = self.searcher.search_window(
+                    slam.graph, slam.builder, window_nodes)
+            else:
+                candidates = self.searcher.search(slam.graph, slam.builder)
         if not candidates:
             return 0
         t0 = _time.time()
@@ -212,7 +223,12 @@ class Backend:
             optimized_count = slam.graph.num_nodes
         t0 = _time.time()
         res = self._optimize(snapshot)
-        poses_opt = np.asarray(res.poses, np.float64)
+        if self.mesh is not None:
+            from my_lidar_graph_slam_tpu.parallel import multihost
+            poses_opt = np.asarray(
+                multihost.fetch_global(res.poses), np.float64)
+        else:
+            poses_opt = np.asarray(res.poses, np.float64)
         metrics.distributions("PoseGraphSolveTime").observe(
             _time.time() - t0)
         self._dump_error_histogram(snapshot, poses_opt, metrics)

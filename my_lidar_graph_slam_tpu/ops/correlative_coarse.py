@@ -45,26 +45,20 @@ def coarse_map_for(builder, lm, low_resolution: int):
     return cache[1]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("low_resolution", "win_x", "win_y", "win_theta_max",
-                     "refine_blocks", "cost_type", "num_total_beams",
-                     "greedy_params"))
-def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
-                    ranges, angles, valid,
-                    scan_min_range, scan_max_range, rel_sensor_pose,
-                    scan_range_max, range_theta,
-                    usable_range_min, usable_range_max,
-                    normalized_score_threshold,
-                    low_resolution: int,
-                    win_x: int, win_y: int, win_theta_max: int,
-                    refine_blocks: int,
-                    cost_type: str = "greedy_endpoint",
-                    num_total_beams: int = 0,
-                    greedy_params: tuple = ()):
-    nb = ranges.shape[-1]
-    n_total = num_total_beams or nb
-    h, w = fine_map.shape
+def _two_stage_one(coarse_map, fine_map, grid, initial_pose,
+                   ranges, angles, valid,
+                   scan_min_range, scan_max_range, rel_sensor_pose,
+                   scan_range_max, range_theta,
+                   usable_range_min, usable_range_max,
+                   normalized_score_threshold,
+                   n_total,
+                   low_resolution: int,
+                   win_x: int, win_y: int, win_theta_max: int,
+                   refine_blocks: int,
+                   cost_type: str,
+                   greedy_params: tuple):
+    """Single-query two-stage match; ``n_total`` traced so the batched
+    wrapper can vmap over the query axis."""
 
     sensor_pose = se2.compound(initial_pose, rel_sensor_pose)
     max_range = jnp.minimum(
@@ -176,6 +170,118 @@ def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
         estimated_pose=estimated_pose,
         covariance=cov,
     ), exact
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("low_resolution", "win_x", "win_y", "win_theta_max",
+                     "refine_blocks", "cost_type", "num_total_beams",
+                     "greedy_params"))
+def _two_stage_core(coarse_map, fine_map, grid, initial_pose,
+                    ranges, angles, valid,
+                    scan_min_range, scan_max_range, rel_sensor_pose,
+                    scan_range_max, range_theta,
+                    usable_range_min, usable_range_max,
+                    normalized_score_threshold,
+                    low_resolution: int,
+                    win_x: int, win_y: int, win_theta_max: int,
+                    refine_blocks: int,
+                    cost_type: str = "greedy_endpoint",
+                    num_total_beams: int = 0,
+                    greedy_params: tuple = ()):
+    n_total = jnp.asarray(num_total_beams or ranges.shape[-1], jnp.float32)
+    return _two_stage_one(
+        coarse_map, fine_map, grid, initial_pose, ranges, angles, valid,
+        scan_min_range, scan_max_range, rel_sensor_pose, scan_range_max,
+        range_theta, usable_range_min, usable_range_max,
+        normalized_score_threshold, n_total, low_resolution,
+        win_x, win_y, win_theta_max, refine_blocks, cost_type,
+        greedy_params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("low_resolution", "win_x", "win_y", "win_theta_max",
+                     "refine_blocks", "cost_type", "greedy_params"))
+def _two_stage_core_batch(coarse_map, fine_map, grid, initial_poses,
+                          ranges, angles, valid,
+                          scan_min_range, scan_max_range, rel_sensor_poses,
+                          scan_range_max, range_theta,
+                          usable_range_min, usable_range_max,
+                          normalized_score_threshold,
+                          num_total_beams,
+                          low_resolution: int,
+                          win_x: int, win_y: int, win_theta_max: int,
+                          refine_blocks: int,
+                          cost_type: str = "greedy_endpoint",
+                          greedy_params: tuple = ()):
+    """Q two-stage matches against one map in ONE dispatch (vmap over the
+    query axis) — used by the correlative loop detector, whose per-node
+    loop cost a ~37 ms round trip per node. ``num_total_beams``: f32[Q].
+    Returns (MatchSummary[Q, ...], exact bool[Q])."""
+    return jax.vmap(
+        lambda p, r, a, v, mn, mx, rel, n: _two_stage_one(
+            coarse_map, fine_map, grid, p, r, a, v, mn, mx, rel,
+            scan_range_max, range_theta, usable_range_min,
+            usable_range_max, normalized_score_threshold, n,
+            low_resolution, win_x, win_y, win_theta_max, refine_blocks,
+            cost_type, greedy_params))(
+        initial_poses, ranges, angles, valid, scan_min_range,
+        scan_max_range, rel_sensor_poses,
+        jnp.asarray(num_total_beams, jnp.float32))
+
+
+def two_stage_match_batch(coarse_map, fine_map, grid, initial_poses, *,
+                          low_resolution, range_x, range_y, range_theta,
+                          scan_range_max, usable_range_min,
+                          usable_range_max, score_threshold, refine_blocks,
+                          num_total_beams, greedy_params, scan_store,
+                          scan_ids, max_escalations: int = 2):
+    """Batched host wrapper with certificate escalation.
+
+    All Q nodes run in one dispatch; when any query's exactness
+    certificate fails, the WHOLE batch re-runs at 4x the refine budget
+    (still one dispatch — recompiles are bounded by max_escalations
+    distinct budgets). Returns ``(MatchSummary[Q, ...], exact bool[Q])``.
+    """
+    res = float(grid.resolution)
+    win_x = int(np.ceil(0.5 * range_x / res))
+    win_y = int(np.ceil(0.5 * range_y / res))
+    win_t = matchers.static_max_theta_window(res, scan_range_max,
+                                             range_theta)
+    nxc = len(range(-win_x, win_x + 1, low_resolution))
+    nyc = len(range(-win_y, win_y + 1, low_resolution))
+    n_blocks = (2 * win_t + 1) * nxc * nyc
+
+    ids = np.asarray(scan_ids)
+    args = (jnp.asarray(np.asarray(initial_poses), jnp.float32),
+            jnp.asarray(scan_store.ranges[ids]),
+            jnp.asarray(scan_store.angles[ids]),
+            jnp.asarray(scan_store.valid[ids]),
+            jnp.asarray(scan_store.min_range[ids]),
+            jnp.asarray(scan_store.max_range[ids]),
+            jnp.asarray(scan_store.rel_sensor_pose[ids]),
+            jnp.asarray(scan_range_max, jnp.float32),
+            jnp.asarray(range_theta, jnp.float32),
+            jnp.asarray(usable_range_min, jnp.float32),
+            jnp.asarray(usable_range_max, jnp.float32),
+            jnp.asarray(score_threshold, jnp.float32),
+            jnp.asarray(np.maximum(scan_store.raw_beams[ids], 1),
+                        jnp.float32))
+
+    m = refine_blocks
+    for _ in range(max_escalations + 1):
+        summary, exact = _two_stage_core_batch(
+            coarse_map, fine_map, grid, *args,
+            low_resolution=low_resolution,
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            refine_blocks=min(m, n_blocks - 1),
+            greedy_params=greedy_params)
+        exact_np = np.asarray(exact)
+        if exact_np.all() or m >= n_blocks - 1:
+            return summary, np.asarray(exact_np | (m >= n_blocks - 1))
+        m = m * 4
+    return summary, np.asarray(exact)
 
 
 def two_stage_match(coarse_map, fine_map, grid, initial_pose, *,

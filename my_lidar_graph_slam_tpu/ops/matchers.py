@@ -622,11 +622,7 @@ def correlative_match_pruned_batch(value_map,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nx", "ny", "nt", "cost_type", "num_total_beams",
-                     "greedy_params"))
-def grid_search_match(value_map,
+def _grid_search_core(value_map,
                       grid: gridops.GridMap,
                       initial_pose,
                       ranges, angles, valid,
@@ -635,20 +631,12 @@ def grid_search_match(value_map,
                       usable_range_min, usable_range_max,
                       normalized_score_threshold,
                       step_x, step_y, step_t,
+                      n_total,
                       nx: int, ny: int, nt: int,
-                      cost_type: str = "greedy_endpoint",
-                      num_total_beams: int = 0,
-                      greedy_params: tuple = ()) -> MatchSummary:
-    """Exhaustive search over a (dy, dx, dt) lattice
-    (scan_matcher_grid_search.cpp:45-114).
-
-    ``nx``/``ny``/``nt``: static counts per axis; offsets are
-    ``(i - n // 2) * step``. Candidate ordering matches the reference loops
-    (dy outer, dx middle, dt inner) so argmax tie-breaking agrees.
-    """
-    nb = ranges.shape[-1]
-    n_total = num_total_beams or nb
-
+                      cost_type: str,
+                      greedy_params: tuple) -> MatchSummary:
+    """Single-query exhaustive lattice search; ``n_total`` traced so the
+    batched wrapper can vmap over it."""
     sensor_pose = se2.compound(initial_pose, rel_sensor_pose)
     score_mask = _range_gate(valid, ranges, usable_range_min,
                              usable_range_max, scan_min_range, scan_max_range)
@@ -686,6 +674,74 @@ def grid_search_match(value_map,
         estimated_pose=estimated_pose,
         covariance=cov,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nt", "cost_type", "num_total_beams",
+                     "greedy_params"))
+def grid_search_match(value_map,
+                      grid: gridops.GridMap,
+                      initial_pose,
+                      ranges, angles, valid,
+                      scan_min_range, scan_max_range,
+                      rel_sensor_pose,
+                      usable_range_min, usable_range_max,
+                      normalized_score_threshold,
+                      step_x, step_y, step_t,
+                      nx: int, ny: int, nt: int,
+                      cost_type: str = "greedy_endpoint",
+                      num_total_beams: int = 0,
+                      greedy_params: tuple = ()) -> MatchSummary:
+    """Exhaustive search over a (dy, dx, dt) lattice
+    (scan_matcher_grid_search.cpp:45-114).
+
+    ``nx``/``ny``/``nt``: static counts per axis; offsets are
+    ``(i - n // 2) * step``. Candidate ordering matches the reference loops
+    (dy outer, dx middle, dt inner) so argmax tie-breaking agrees.
+    """
+    nb = ranges.shape[-1]
+    n_total = jnp.asarray(num_total_beams or nb, jnp.float32)
+    return _grid_search_core(
+        value_map, grid, initial_pose, ranges, angles, valid,
+        scan_min_range, scan_max_range, rel_sensor_pose,
+        usable_range_min, usable_range_max, normalized_score_threshold,
+        step_x, step_y, step_t, n_total, nx, ny, nt,
+        cost_type, greedy_params)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nt", "cost_type", "greedy_params"))
+def grid_search_match_batch(value_map,
+                            grid: gridops.GridMap,
+                            initial_poses,
+                            ranges, angles, valid,
+                            scan_min_range, scan_max_range,
+                            rel_sensor_poses,
+                            usable_range_min, usable_range_max,
+                            normalized_score_threshold,
+                            step_x, step_y, step_t,
+                            num_total_beams,
+                            nx: int, ny: int, nt: int,
+                            cost_type: str = "greedy_endpoint",
+                            greedy_params: tuple = ()) -> MatchSummary:
+    """Q exhaustive lattice searches against one map in ONE dispatch.
+
+    vmap of :func:`_grid_search_core` over the query axis — used by the
+    grid-search loop detector, whose per-node loop cost a ~37 ms device
+    round trip per node (loop_detector_grid_search.cpp:62-89 shape).
+    ``num_total_beams``: f32[Q].
+    """
+    return jax.vmap(
+        lambda p, r, a, v, mn, mx, rel, n: _grid_search_core(
+            value_map, grid, p, r, a, v, mn, mx, rel,
+            usable_range_min, usable_range_max,
+            normalized_score_threshold, step_x, step_y, step_t, n,
+            nx, ny, nt, cost_type, greedy_params))(
+        initial_poses, ranges, angles, valid, scan_min_range,
+        scan_max_range, rel_sensor_poses,
+        jnp.asarray(num_total_beams, jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,26 @@ def host_local_to_global(mesh: Mesh, spec: P, local_array: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, local_array)
 
 
+def fetch_global(tree):
+    """Bring a (possibly multi-process-sharded) pytree fully to the host.
+
+    ``np.asarray`` on an array spanning non-addressable devices raises;
+    when more than one process participates, gather the global value with
+    ``process_allgather`` instead. Single-process arrays (or plain numpy)
+    pass straight through.
+    """
+    import numpy as np
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def replicate(mesh: Mesh, tree):
     """Put a pytree on every device, replicated."""
     sharding = NamedSharding(mesh, P())
