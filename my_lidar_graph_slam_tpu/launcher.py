@@ -39,6 +39,51 @@ from my_lidar_graph_slam_tpu.utils import config as config_mod
 from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
 
 
+def _warm_backend_programs(warm_obj):
+    """Force-load the detection and post-closure-rebuild executables.
+
+    A normal warmup prefix rarely triggers a loop closure, so those
+    programs would otherwise pay their per-process executable load
+    (~10-35 s each through the tunnel) inside the timed run. Fabricated
+    candidates at the production K buckets (window widths 3 and 5 ->
+    buckets 4 and 8) drive the detector; clearing ``built_poses`` forces
+    a full batched rebuild. Results are discarded.
+    """
+    import contextlib
+
+    from my_lidar_graph_slam_tpu.models.loop_closure import LoopCandidate
+
+    b = warm_obj.builder
+    g = warm_obj.graph
+    if not b.local_maps or g.num_nodes < 2:
+        return
+    lm = b.local_maps[0]
+    was_finished = lm.finished
+    lm.finished = True
+    n = g.num_nodes
+    for width in (3, 5):
+        nodes = list(range(max(0, n - width), n))
+        cand = [LoopCandidate(node_indices=nodes, local_map_idx=0,
+                              local_map_node_idx=nodes[0])]
+        with contextlib.suppress(Exception):
+            warm_obj.backend.detector.detect(g, b, cand)
+    kmaps = getattr(warm_obj.backend.searcher, "num_candidate_maps", 1)
+    if kmaps > 1:
+        # Multi-candidate configs run the stacked multi-map program;
+        # warm its M buckets too.
+        nodes = list(range(max(0, n - 5), n))
+        for count in {2, min(kmaps, 3)}:
+            cands = [LoopCandidate(node_indices=nodes, local_map_idx=0,
+                                   local_map_node_idx=nodes[0])] * count
+            with contextlib.suppress(Exception):
+                warm_obj.backend.detector.detect(g, b, cands)
+    lm.finished = was_finished
+    for lmm in b.local_maps:
+        lmm.built_poses = None  # force the batched rebuild program
+    with contextlib.suppress(Exception):
+        b.after_loop_closure(g)
+
+
 def run(log_path: str, settings_path: str, output: str,
         threaded_backend: bool = True,
         max_scans: int = 0,
@@ -51,7 +96,8 @@ def run(log_path: str, settings_path: str, output: str,
         profile_dir: str = "",
         platform: str = "",
         replay_chunk: int = 0,
-        attach_odom: bool = False) -> dict:
+        attach_odom: bool = False,
+        warmup: int = 0) -> dict:
     """Run the full pipeline; returns summary stats.
 
     ``multihost`` initializes jax.distributed (coordinator from the
@@ -111,6 +157,34 @@ def run(log_path: str, settings_path: str, output: str,
         import jax
         profile_ctx = contextlib.ExitStack()
         profile_ctx.enter_context(jax.profiler.trace(profile_dir))
+
+    if warmup:
+        # Drive the first N scans through a THROWAWAY pipeline so every
+        # compiled program is loaded into the device runtime before the
+        # timed run — on a remote-attached device (axon tunnel) a fresh
+        # process pays a multi-second executable load per program even
+        # with a warm persistent compile cache (measured ~60-120 s for
+        # the big programs); production servers warm up the same way.
+        print(f"[launcher] warmup over first {warmup} scans...",
+              file=sys.stderr)
+        t0 = time.time()
+        warm_obj = config_mod.create_slam(
+            cfg, threaded_backend=False, mesh=mesh)
+        warm_scans = scan_records[:warmup]
+        if replay_chunk:
+            from my_lidar_graph_slam_tpu.models.replay import ReplayRunner
+            ReplayRunner(warm_obj, chunk=replay_chunk).run(warm_scans)
+        else:
+            for scan in warm_scans:
+                warm_obj.process_scan(scan, scan.odom_pose)
+        if warm_obj.backend is not None:
+            warm_obj.backend.run_once(warm_obj)
+            _warm_backend_programs(warm_obj)
+        del warm_obj
+        MetricManager.reset_instance()
+        metrics = MetricManager.instance()
+        print(f"[launcher] warmup done in {time.time() - t0:.1f}s",
+              file=sys.stderr)
 
     slam_obj.start_backend()
     t0 = time.time()
@@ -241,6 +315,10 @@ def main():
                         help="stamp pose-less RAWLASER scans with the "
                              "most recent ODOM pose (extension; the "
                              "reference leaves them zero)")
+    parser.add_argument("--warmup", type=int, default=0,
+                        help="pre-drive the first N scans through a "
+                             "throwaway pipeline so device executables "
+                             "are loaded before the timed run")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -256,7 +334,8 @@ def main():
         profile_dir=args.profile,
         platform=args.platform,
         replay_chunk=args.replay_chunk,
-        attach_odom=args.attach_odom)
+        attach_odom=args.attach_odom,
+        warmup=args.warmup)
 
 
 if __name__ == "__main__":

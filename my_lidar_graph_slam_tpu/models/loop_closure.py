@@ -384,6 +384,15 @@ class LoopDetectorBranchBound:
         st = builder.scans
         if not candidates:
             return results
+        if len(candidates) == 1:
+            # Single-candidate fast path (the default config's only
+            # case): reuse the cached tiles/values directly — the
+            # stacked multi-map program copies the ~18 MB tile array and
+            # recomputes the value map per pass, several eager device
+            # ops each costing a round trip (and a one-off executable
+            # load in a fresh process).
+            return self._detect_mxu_single(graph, builder, candidates[0],
+                                           win_x, win_y, win_t)
 
         # ONE dispatch for ALL candidates (round 4): candidate maps are
         # same-shape dense tensors, so their cached tile arrays stack and
@@ -393,11 +402,7 @@ class LoopDetectorBranchBound:
         # .cpp:38-89). M and K are bucketed so recompiles stay rare.
         m = _bucket_batch(len(candidates))
         k = _bucket_batch(max(len(c.node_indices) for c in candidates))
-        nb = 1
-        for cand in candidates:
-            ids = [int(graph.scan_ids[n]) for n in cand.node_indices]
-            nb = max(nb, int(st.raw_beams[ids].max()))
-        nb = min(int(-(-nb // 64) * 64), st.beam_capacity)
+        nb = st.beam_bucket()
 
         value_maps, tiles, origins = [], [], []
         poses = np.zeros((m, k, 3), np.float32)
@@ -411,7 +416,7 @@ class LoopDetectorBranchBound:
         for ci, cand in enumerate(candidates):
             lm = builder.local_maps[cand.local_map_idx]
             assert lm.finished
-            value_maps.append(gridops.values(lm.grid))
+            value_maps.append(builder.values_for(lm))
             tiles.append(builder.mxu_tiles_for(lm).tiles)
             origins.append(np.asarray(lm.grid.origin, np.float32))
             nodes = list(cand.node_indices)
@@ -465,6 +470,66 @@ class LoopDetectorBranchBound:
                 one = jax.tree_util.tree_map(
                     lambda x, c=ci, r=row: x[c][r], out)
                 self._emit(results, graph, cand, node_idx, anchor_pose, one)
+        return results
+
+    def _detect_mxu_single(self, graph: PoseGraph,
+                           builder: mb.GridMapBuilder,
+                           cand: LoopCandidate,
+                           win_x: int, win_y: int, win_t: int
+                           ) -> List[LoopDetectionResult]:
+        """One candidate map, K nodes, one dispatch, zero stacking."""
+        from my_lidar_graph_slam_tpu.ops import matchers_mxu
+
+        st = builder.scans
+        lm = builder.local_maps[cand.local_map_idx]
+        assert lm.finished
+        vals = builder.values_for(lm)
+        tiles = builder.mxu_tiles_for(lm)
+        anchor_pose = graph.poses[cand.local_map_node_idx]
+
+        nodes = list(cand.node_indices)
+        k = _bucket_batch(len(nodes))
+        nb = st.beam_bucket()
+        ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
+        idsp = np.concatenate([ids, np.zeros(k - len(nodes), ids.dtype)])
+        poses = np.zeros((k, 3), np.float32)
+        poses[:len(nodes)] = graph.poses[nodes]
+        valid = st.valid[idsp, :nb].copy()
+        valid[len(nodes):] = False
+
+        from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
+        MetricManager.instance().counters(
+            "LoopDetectMxuQueries").increment(len(nodes))
+        MetricManager.instance().counters(
+            "LoopDetectMxuPaddedQueries").increment(k - len(nodes))
+
+        out = matchers_mxu.correlative_match_mxu_batch(
+            vals, tiles, lm.grid, jnp.asarray(poses),
+            jnp.asarray(st.ranges[idsp, :nb]),
+            jnp.asarray(st.angles[idsp, :nb]),
+            jnp.asarray(valid),
+            jnp.asarray(st.min_range[idsp]),
+            jnp.asarray(st.max_range[idsp]),
+            jnp.asarray(st.rel_sensor_pose[idsp]),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(self.score_threshold, jnp.float32),
+            jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            greedy_params=self.greedy_params,
+            interpret=self.mxu_interpret,
+            score_gate="pixel_accurate",
+            cost_kernel_ok=self._cost_kernel_ok(
+                float(builder.config.resolution)))
+        results: List[LoopDetectionResult] = []
+        found = np.asarray(out.pose_found)
+        for row, node_idx in enumerate(nodes):
+            if not bool(found[row]):
+                continue  # silent skip (loop_detector_branch_bound.cpp:74)
+            one = jax.tree_util.tree_map(lambda x, r=row: x[r], out)
+            self._emit(results, graph, cand, node_idx, anchor_pose, one)
         return results
 
     def _detect_fanout(self, graph: PoseGraph, builder: mb.GridMapBuilder,

@@ -68,6 +68,34 @@ def _fused_map_update(local_log_odds, local_observed, local_origin,
             latest.log_odds, latest.observed, origin)
 
 
+@functools.partial(jax.jit, static_argnames=("size", "max_steps"))
+def _rebuild_maps_batched(origins, resolution, poses, ranges, angles,
+                          valid, rel, rmin, rmax, active,
+                          prob_hit, prob_miss,
+                          size: int, max_steps: int):
+    """Rebuild M same-size local maps from scratch in ONE program.
+
+    vmap of the per-map sequential ``integrate_scans`` chain — identical
+    per-map results to M separate ``_construct_from_nodes`` calls, but
+    one dispatch instead of M (each costs a ~37 ms round trip plus, in a
+    fresh process, a multi-second executable load through the tunnel;
+    post-closure rebuilds were the largest unattributed cost of the
+    replay e2e runs). Batch axes: ``origins`` f32[M, 2]; scan tensors
+    [M, K, ...]; ``active`` bool[M, K] masks ragged per-map node counts.
+    """
+    def one(origin, p, r, a, v, rl, mn, mx, act):
+        g = gridops.GridMap(jnp.zeros((size, size), jnp.float32),
+                            jnp.zeros((size, size), bool),
+                            origin, resolution)
+        g = raycast.integrate_scans(
+            g, p, r, a, v, rl, mn, mx, scan_active=act,
+            prob_hit=prob_hit, prob_miss=prob_miss, max_steps=max_steps)
+        return g.log_odds, g.observed
+
+    return jax.vmap(one)(origins, poses, ranges, angles, valid, rel,
+                         rmin, rmax, active)
+
+
 class ScanStore:
     """Fixed-width scan tensors for every pose-graph node."""
 
@@ -125,6 +153,19 @@ class ScanStore:
         self.count += 1
         return idx
 
+    def beam_bucket(self) -> int:
+        """Store-wide 64-aligned beam-width bucket.
+
+        Device programs slice scan tensors to this width. Using the
+        STORE-WIDE maximum (not the per-batch maximum) keeps the compiled
+        shape set stable across a run — on the tunnel every new shape
+        costs a multi-second per-process executable load (verify skill,
+        round 5), which dwarfs the few percent of extra masked beam work.
+        """
+        n = max(int(self.raw_beams[:self.count].max()), 1) \
+            if self.count else 1
+        return min(int(-(-n // 64) * 64), self.beam_capacity)
+
 
 @dataclasses.dataclass
 class LocalMap:
@@ -137,6 +178,7 @@ class LocalMap:
     finished: bool = False
     pyramid: Optional[jnp.ndarray] = None  # cached coarse-map stack
     mxu_tiles: Optional[object] = None     # cached MXU tile array
+    values: Optional[jnp.ndarray] = None   # cached occupancy values
     # Node poses the current grid contents were integrated at (one row per
     # node in [node_idx_min, node_idx_max]); lets after_loop_closure skip
     # rebuilding maps whose optimized poses barely moved.
@@ -202,8 +244,7 @@ class GridMapBuilder:
         m = hi - lo + 1
         ids = graph.scan_ids[lo:hi + 1].astype(np.int64)
 
-        nb = int(-(-max(int(st.raw_beams[ids].max()), 1) // 64) * 64)
-        nb = min(nb, st.beam_capacity)
+        nb = st.beam_bucket()
         reach = min(cfg.usable_range_max, float(st.max_range[ids].max()))
         steps = int(-(-(reach / cfg.resolution + 2) // 64) * 64)
         steps = min(steps, cfg.max_ray_steps)
@@ -253,6 +294,7 @@ class GridMapBuilder:
         lm.node_idx_max = node_idx
         lm.pyramid = None
         lm.mxu_tiles = None
+        lm.values = None
         row = np.asarray(robot_pose, np.float64)[None, :]
         lm.built_poses = row if lm.built_poses is None else \
             np.concatenate([lm.built_poses, row])
@@ -364,8 +406,7 @@ class GridMapBuilder:
         # beams x steps, and scans are front-packed, so slicing to the
         # smallest covering bucket cuts the per-rebuild cost ~4-5x versus
         # always using the full store capacity.
-        nb = int(-(-max(int(st.raw_beams[all_ids].max()), 1) // 64) * 64)
-        nb = min(nb, st.beam_capacity)
+        nb = st.beam_bucket()
         reach = min(cfg.usable_range_max, float(st.max_range[all_ids].max()))
         steps = int(-(-(reach / cfg.resolution + 2) // 64) * 64)
         steps = min(steps, cfg.max_ray_steps)
@@ -454,11 +495,16 @@ class GridMapBuilder:
                 np.concatenate([lm.built_poses, row])
             lm.pyramid = None
             lm.mxu_tiles = None
+            lm.values = None
 
-        # One batched integration per (local map, node run) group.
+        # One batched integration per (local map, node run) group. The
+        # chunk bucket is FIXED at 16 so one compiled shape serves every
+        # group size (a new shape costs a per-process executable load on
+        # the tunnel — see the verify skill).
         for lm, nodes in groups:
             lm.grid = self._construct_from_nodes(
-                lm.grid, graph, nodes[0], nodes[-1])
+                lm.grid, graph, nodes[0], nodes[-1],
+                batch=16 * (1 + (len(nodes) - 1) // 16))
 
         self._update_latest_map(graph)
 
@@ -479,10 +525,12 @@ class GridMapBuilder:
         were CPU-local and cheap.
         """
         cfg = self.config
+        st = self.scans
         eps_t = 0.5 * cfg.resolution
         eps_a = 0.5 * cfg.resolution / max(cfg.usable_range_max, 1e-6)
         from my_lidar_graph_slam_tpu.utils.metrics import MetricManager
         metrics = MetricManager.instance()
+        rebuild: List[LocalMap] = []
         for lm in self.local_maps:
             new_poses = graph.poses[lm.node_idx_min:lm.node_idx_max + 1]
             if lm.built_poses is not None and \
@@ -493,15 +541,80 @@ class GridMapBuilder:
                 if dt < eps_t and da < eps_a:
                     metrics.counters("LocalMapRebuildsSkipped").increment()
                     continue
-            center_pose = graph.poses[lm.node_idx_min]
-            g = gridops.empty(cfg.local_map_size, cfg.local_map_size,
-                              cfg.resolution, center=center_pose[:2])
-            lm.grid = self._construct_from_nodes(
-                g, graph, lm.node_idx_min, lm.node_idx_max)
-            lm.pyramid = None
-            lm.mxu_tiles = None
-            lm.built_poses = np.asarray(new_poses, np.float64).copy()
-            metrics.counters("LocalMapRebuilds").increment()
+            rebuild.append(lm)
+
+        if rebuild:
+            # ALL moved maps rebuilt in batched dispatches (the
+            # reference rebuilds each sequentially on the CPU,
+            # grid_map_builder.cpp:62-80 — cheap there, a round trip per
+            # map here). M is FIXED at 4 per dispatch and K bucketed from
+            # 64 so the compiled shape set stays tiny — on the tunnel
+            # every distinct program shape costs a multi-second
+            # per-process executable load (verify skill, round 5).
+            mcap = 4
+            kmax = max(lm.node_idx_max - lm.node_idx_min + 1
+                       for lm in rebuild)
+            k = _bucket(kmax, 64)
+            all_ids = np.concatenate([
+                graph.scan_ids[lm.node_idx_min:lm.node_idx_max + 1]
+                for lm in rebuild]).astype(np.int64)
+            nb = st.beam_bucket()
+            reach = min(cfg.usable_range_max,
+                        float(st.max_range[all_ids].max()))
+            steps = int(-(-(reach / cfg.resolution + 2) // 64) * 64)
+            steps = min(steps, cfg.max_ray_steps)
+
+            for b0 in range(0, len(rebuild), mcap):
+                batch = rebuild[b0:b0 + mcap]
+                origins = np.zeros((mcap, 2), np.float32)
+                poses = np.zeros((mcap, k, 3), np.float32)
+                ranges = np.zeros((mcap, k, nb), np.float32)
+                angles = np.zeros((mcap, k, nb), np.float32)
+                valid = np.zeros((mcap, k, nb), bool)
+                rel = np.zeros((mcap, k, 3), np.float32)
+                rmin = np.full((mcap, k), cfg.usable_range_min, np.float32)
+                rmax = np.full((mcap, k), cfg.usable_range_max, np.float32)
+                active = np.zeros((mcap, k), bool)
+                for i, lm in enumerate(batch):
+                    lo_n, hi_n = lm.node_idx_min, lm.node_idx_max
+                    m = hi_n - lo_n + 1
+                    ids = graph.scan_ids[lo_n:hi_n + 1].astype(np.int64)
+                    center = graph.poses[lo_n][:2]
+                    origins[i] = center - 0.5 * cfg.resolution * \
+                        cfg.local_map_size
+                    poses[i, :m] = graph.poses[lo_n:hi_n + 1]
+                    ranges[i, :m] = st.ranges[ids][:, :nb]
+                    angles[i, :m] = st.angles[ids][:, :nb]
+                    valid[i, :m] = st.valid[ids][:, :nb]
+                    rel[i, :m] = st.rel_sensor_pose[ids]
+                    rmin[i, :m] = np.maximum(cfg.usable_range_min,
+                                             st.min_range[ids])
+                    rmax[i, :m] = np.minimum(cfg.usable_range_max,
+                                             st.max_range[ids])
+                    active[i, :m] = True
+
+                log_odds, observed = _rebuild_maps_batched(
+                    jnp.asarray(origins),
+                    jnp.asarray(cfg.resolution, jnp.float32),
+                    jnp.asarray(poses), jnp.asarray(ranges),
+                    jnp.asarray(angles), jnp.asarray(valid),
+                    jnp.asarray(rel), jnp.asarray(rmin),
+                    jnp.asarray(rmax), jnp.asarray(active),
+                    jnp.asarray(cfg.prob_hit, jnp.float32),
+                    jnp.asarray(cfg.prob_miss, jnp.float32),
+                    size=cfg.local_map_size, max_steps=steps)
+                for i, lm in enumerate(batch):
+                    lm.grid = gridops.GridMap(
+                        log_odds[i], observed[i],
+                        jnp.asarray(origins[i]),
+                        jnp.asarray(cfg.resolution, jnp.float32))
+                    lm.pyramid = None
+                    lm.mxu_tiles = None
+                    lm.values = None
+                    lm.built_poses = np.asarray(
+                        graph.poses[lm.node_idx_min:lm.node_idx_max + 1],
+                        np.float64).copy()
+                    metrics.counters("LocalMapRebuilds").increment()
         self._update_latest_map(graph)
         self._update_accum_travel_dist(graph)
 
@@ -544,11 +657,21 @@ class GridMapBuilder:
                 gridops.values(lm.grid), height_max)
         return lm.pyramid
 
+    def values_for(self, lm: LocalMap):
+        """Lazily compute + cache the occupancy-value tensor.
+
+        ``gridops.values`` is an EAGER device program (sigmoid + where
+        over the full map); recomputing it per detection pass cost a
+        dispatch plus, in a fresh process, a one-off executable load."""
+        if lm.values is None:
+            lm.values = gridops.values(lm.grid)
+        return lm.values
+
     def mxu_tiles_for(self, lm: LocalMap):
         """Lazily build + cache the overlapped MXU tile array for the
         gather-free loop-detection sweep (the Pallas analog of the
         pyramid cache above)."""
         if lm.mxu_tiles is None:
             from my_lidar_graph_slam_tpu.ops import matchers_mxu
-            lm.mxu_tiles = matchers_mxu.make_tiles(gridops.values(lm.grid))
+            lm.mxu_tiles = matchers_mxu.make_tiles(self.values_for(lm))
         return lm.mxu_tiles

@@ -301,8 +301,7 @@ class ReplayRunner:
         pre_ids = slam_obj.graph.scan_ids[
             max(0, n_nodes - w):n_nodes].astype(np.int64)
         all_ids = np.concatenate([pre_ids, scan_ids])
-        nb = int(-(-max(int(st.raw_beams[all_ids].max()), 1) // 64) * 64)
-        nb = min(nb, st.beam_capacity)
+        nb = st.beam_bucket()
         reach = min(bcfg.usable_range_max,
                     float(st.max_range[all_ids].max()))
         steps = int(-(-(reach / bcfg.resolution + 2) // 64) * 64)
@@ -361,18 +360,22 @@ class ReplayRunner:
 
         slam_obj = self.slam
         fe = slam_obj.frontend
+        t0 = _time.time()
         kfs = precompute_keyframes(
             scan_records, fe.config,
             interpolator=fe.interpolator, accumulator=fe.accumulator)
         if not kfs:
             return 0
+        metrics.gauges("ReplayPrecomputeSeconds").set(_time.time() - t0)
 
         # Bootstrap: first keyframe at the initial pose
         # (lidar_graph_slam_frontend.cpp:86-90), then its map update —
         # the per-scan path, one-off.
+        t0 = _time.time()
         slam_obj.append_first_node(fe.config.initial_pose, kfs[0].scan)
         slam_obj.update_grid_map()
         fe.process_count = 1
+        metrics.gauges("ReplayBootstrapSeconds").set(_time.time() - t0)
 
         last_pass_node = 0
         i = 1
@@ -409,11 +412,14 @@ class ReplayRunner:
                 # Every node appended since the LAST pass can trigger a
                 # candidate, so mid-chunk revisits are not lost to the
                 # coarser boundary sampling (search_window).
+                t0 = _time.time()
                 slam_obj.backend.run_once(
                     slam_obj,
                     window_nodes=range(last_pass_node + 1,
                                        slam_obj.graph.num_nodes))
                 last_pass_node = slam_obj.graph.num_nodes - 1
+                metrics.distributions("BackendPassTime").observe(
+                    _time.time() - t0)
             if progress_cb is not None:
                 progress_cb(fe.process_count)
             i += len(batch)

@@ -238,8 +238,7 @@ class CorrelativeMatcher:
         """MXU path for any Q: ONE fused dispatch (values + tile build +
         Pallas sweep), ONE packed transfer; exact over the window."""
         ids = np.asarray(scan_ids)
-        nb = int(-(-max(int(store.raw_beams[ids].max()), 1) // 64) * 64)
-        nb = min(nb, store.beam_capacity)
+        nb = store.beam_bucket()
         packed = np.asarray(_fused_mxu_match(
             grid.log_odds, grid.observed, grid.origin, grid.resolution,
             jnp.asarray(np.asarray(initial_poses), jnp.float32),
@@ -278,8 +277,7 @@ class CorrelativeMatcher:
                 win_x, win_y, win_t)
             return matchers.MatchSummary(*(leaf[0] for leaf in out))
         self._count("FrontendPrunedMatches")
-        nb = int(-(-max(int(store.raw_beams[scan_id]), 1) // 64) * 64)
-        nb = min(nb, store.beam_capacity)
+        nb = store.beam_bucket()
         sid = slice(scan_id, scan_id + 1)
 
         packed = np.asarray(_fused_pruned_match(
@@ -342,8 +340,7 @@ class CorrelativeMatcher:
         # Beam-width bucket: scans are front-packed in the store, so the
         # kernels only need the first ceil(max_beams / 64) * 64 columns —
         # every map read costs one scalar gather, so width is throughput.
-        nb = int(-(-max(int(store.raw_beams[ids].max()), 1) // 64) * 64)
-        nb = min(nb, store.beam_capacity)
+        nb = store.beam_bucket()
 
         args = dict(
             ranges=jnp.asarray(store.ranges[ids][:, :nb]),

@@ -207,7 +207,10 @@ class Backend:
             sum(len(c.node_indices) for c in candidates))
         if not results:
             return 0
+        t0 = _time.time()
         slam.append_loop_closing_edges(results)
+        metrics.distributions("AppendLoopEdgesTime").observe(
+            _time.time() - t0)
         metrics.counters("LoopClosingEdges").increment(len(results))
 
         n_dev = 1 if self.mesh is None else \
@@ -231,8 +234,14 @@ class Backend:
             poses_opt = np.asarray(res.poses, np.float64)
         metrics.distributions("PoseGraphSolveTime").observe(
             _time.time() - t0)
+        t0 = _time.time()
         self._dump_error_histogram(snapshot, poses_opt, metrics)
+        metrics.distributions("ErrorHistogramTime").observe(
+            _time.time() - t0)
+        t0 = _time.time()
         slam.after_loop_closure(poses_opt, optimized_count)
+        metrics.distributions("PostClosureRebuildTime").observe(
+            _time.time() - t0)
         self.num_loop_closures += 1
         return len(results)
 
@@ -240,12 +249,25 @@ class Backend:
     def _dump_error_histogram(snapshot, poses_opt, metrics):
         """Per-edge chi-square errors after optimization into the metric
         histogram, the reference's one wired metric
-        (pose_graph_optimizer_lm.cpp:341-381)."""
-        from my_lidar_graph_slam_tpu.models import optimizer_lm as olm
-        err = np.asarray(olm.edge_errors(
-            poses_opt.astype(np.float32), snapshot.edge_i, snapshot.edge_j,
-            snapshot.edge_rel))
-        sq = np.einsum("ei,eij,ej->e", err, snapshot.edge_info, err)
+        (pose_graph_optimizer_lm.cpp:341-381).
+
+        Pure NumPy: an eager jnp version cost a device dispatch + a
+        per-edge-cap-bucket executable load (~8 s each on the tunnel)
+        for a few thousand 3-vector errors.
+        """
+        ei = np.asarray(snapshot.edge_i)
+        ej = np.asarray(snapshot.edge_j)
+        rel = np.asarray(snapshot.edge_rel, np.float64)
+        pi = poses_opt[ei]
+        pj = poses_opt[ej]
+        s, c = np.sin(pi[:, 2]), np.cos(pi[:, 2])
+        dx, dy = pj[:, 0] - pi[:, 0], pj[:, 1] - pi[:, 1]
+        h = np.stack([c * dx + s * dy, -s * dx + c * dy,
+                      pj[:, 2] - pi[:, 2]], axis=-1)
+        err = h - rel
+        err[:, 2] = se2.normalize_angle_np(err[:, 2])
+        sq = np.einsum("ei,eij,ej->e", err,
+                       np.asarray(snapshot.edge_info, np.float64), err)
         hist = metrics.histograms("PoseGraphEdgeError",
                                   boundaries=np.logspace(-4, 2, 13).tolist())
         for v in sq[np.asarray(snapshot.edge_mask)]:
