@@ -97,7 +97,8 @@ def run(log_path: str, settings_path: str, output: str,
         platform: str = "",
         replay_chunk: int = 0,
         attach_odom: bool = False,
-        warmup: int = 0) -> dict:
+        warmup: int = 0,
+        stream_async: bool = False) -> dict:
     """Run the full pipeline; returns summary stats.
 
     ``multihost`` initializes jax.distributed (coordinator from the
@@ -125,6 +126,11 @@ def run(log_path: str, settings_path: str, output: str,
         threaded_backend = False
     slam_obj = config_mod.create_slam(cfg, threaded_backend=threaded_backend,
                                       mesh=mesh)
+    if stream_async:
+        # Pipelined online frontend: overlap each keyframe's match round
+        # trip with the scans accumulated until the next keyframe
+        # (models/slam.py Frontend.async_pipeline).
+        slam_obj.frontend.async_pipeline = True
 
     records = carmen.load(log_path)
     if attach_odom:
@@ -319,6 +325,10 @@ def main():
                         help="pre-drive the first N scans through a "
                              "throwaway pipeline so device executables "
                              "are loaded before the timed run")
+    parser.add_argument("--stream-async", action="store_true",
+                        help="pipelined online frontend: overlap each "
+                             "keyframe's match round trip with the next "
+                             "keyframe's scan accumulation")
     args = parser.parse_args()
 
     output = args.output or os.path.splitext(os.path.basename(args.log))[0]
@@ -335,7 +345,8 @@ def main():
         platform=args.platform,
         replay_chunk=args.replay_chunk,
         attach_odom=args.attach_odom,
-        warmup=args.warmup)
+        warmup=args.warmup,
+        stream_async=args.stream_async)
 
 
 if __name__ == "__main__":

@@ -262,6 +262,53 @@ class CorrelativeMatcher:
         self._count("FrontendMxuMatches", len(ids))
         return _unpack_summary(packed, initial_poses)
 
+    def match_async(self, grid: gridops.GridMap, store, scan_id: int,
+                    initial_pose):
+        """Dispatch a single-query MXU match WITHOUT blocking.
+
+        Returns the packed [1, 16] device array with an async
+        host-transfer already started; resolve with
+        :meth:`resolve_async`. Only valid when the MXU path is enabled
+        (the pipelined frontend's requirement)."""
+        res = float(grid.resolution)
+        win_x, win_y, win_t = self._window(res)
+        assert self._mxu_enabled(win_x, win_y), \
+            "async match requires the MXU kernel path"
+        ids = np.asarray([scan_id])
+        nb = store.beam_bucket()
+        packed = _fused_mxu_match(
+            grid.log_odds, grid.observed, grid.origin, grid.resolution,
+            jnp.asarray(np.asarray(initial_pose, np.float32)[None, :]),
+            jnp.asarray(store.ranges[ids][:, :nb]),
+            jnp.asarray(store.angles[ids][:, :nb]),
+            jnp.asarray(store.valid[ids][:, :nb]),
+            jnp.asarray(store.min_range[ids]),
+            jnp.asarray(store.max_range[ids]),
+            jnp.asarray(store.rel_sensor_pose[ids]),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(store.raw_beams[ids], jnp.float32),
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            cost_type=self.cost_type, greedy_params=self.greedy_params,
+            interpret=self.mxu_interpret,
+            cost_kernel_ok=self._cost_kernel_ok(res))
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._count("FrontendMxuMatches")
+        return packed
+
+    def resolve_async(self, packed, initial_pose) -> matchers.MatchSummary:
+        """Block on an async match's transfer and unpack the summary."""
+        out = _unpack_summary(
+            np.asarray(packed),
+            np.asarray(initial_pose, np.float32)[None, :])
+        return matchers.MatchSummary(*(leaf[0] for leaf in out))
+
     def match(self, grid: gridops.GridMap, store, scan_id: int,
               initial_pose) -> matchers.MatchSummary:
         """Single-query frontend match: ONE fused device dispatch + ONE
