@@ -49,7 +49,9 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
                            theta_chunk=None,
                            q_chunk: int = 16,
                            interpret: bool = False,
-                           mxu_dtype=jnp.float32):
+                           mxu_dtype=jnp.float32,
+                           map_idx=None,
+                           map_tile_rows: int = 0):
     """Full (2*win_x+1) x (2*win_y+1) window scores for ANY window size.
 
     The Pallas kernel's tile-overlap budget caps its window at 7x7
@@ -65,7 +67,9 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
         return cm.window_scores_mxu(tiles, ix, iy, beam_weight,
                                     win_x, win_y, theta_chunk=theta_chunk,
                                     q_chunk=q_chunk, interpret=interpret,
-                                    mxu_dtype=mxu_dtype)
+                                    mxu_dtype=mxu_dtype,
+                                    map_idx=map_idx,
+                                    map_tile_rows=map_tile_rows)
     kw = 2 * _KW + 1
     wxn = 2 * win_x + 1
     wyn = 2 * win_y + 1
@@ -82,11 +86,13 @@ def window_scores_mxu_wide(tiles: cm.MxuTiles, ix, iy, beam_weight,
     ixb = jnp.concatenate([ix + cx for cx, _ in offs], axis=0)
     iyb = jnp.concatenate([iy + cy for _, cy in offs], axis=0)
     wb = jnp.tile(beam_weight, (nbx * nby, 1))
+    mib = None if map_idx is None else jnp.tile(map_idx, nbx * nby)
     qc = min(max(q_chunk, 1) * nbx * nby, ixb.shape[0], 128)
     s = cm.window_scores_mxu(
         tiles, ixb, iyb, wb, _KW, _KW,
         theta_chunk=theta_chunk, q_chunk=qc,
-        interpret=interpret, mxu_dtype=mxu_dtype)      # [B*Q, NT, 7, 7]
+        interpret=interpret, mxu_dtype=mxu_dtype,
+        map_idx=mib, map_tile_rows=map_tile_rows)      # [B*Q, NT, 7, 7]
     s = s.reshape(nbx, nby, q, nt, kw, kw)
     # Assemble: block (kx, ky) holds offsets (cx + d, cy + e).
     s = jnp.transpose(s, (2, 3, 0, 4, 1, 5)).reshape(
@@ -332,34 +338,145 @@ def correlative_match_mxu_multi(value_maps,
                                 mxu_dtype=jnp.float32,
                                 cost_kernel_ok: bool = True
                                 ) -> matchers.MatchSummary:
-    """M candidate maps x K nodes matched in ONE device dispatch.
+    """M candidate maps x K nodes matched in ONE device dispatch — and,
+    on the production path, ONE kernel launch set.
 
-    Multi-candidate loop detection (VERDICT r3 item 7): the reference's
-    detector — and round 3's ``_detect_mxu`` — dispatched once per
-    candidate map (loop_detector_branch_bound.cpp:38-89), serializing
-    simultaneous candidates through the ~37 ms tunnel round trip. Here
-    every per-map sweep runs inside one jitted program over stacked
-    same-shape local maps (``value_maps`` f32[M, H, W], ``tiles_stack``
+    Multi-candidate loop detection (VERDICT r3 item 7 / r4 weak #5): the
+    reference's detector dispatched once per candidate map
+    (loop_detector_branch_bound.cpp:38-89). Stacked same-shape local
+    maps (``value_maps`` f32[M, H, W], ``tiles_stack``
     f32[M, NTY, NTX, 128, 128] from the per-map caches, ``origins``
-    f32[M, 2]); batch axes of the scan arguments are [M, K, ...].
+    f32[M, 2]; scan arguments [M, K, ...]) run as one jitted program,
+    and the (map, node) axes FOLD into the kernels' query axis: the M
+    tile arrays concatenate along the tile-row axis and per-query
+    ``map_idx`` offsets select each query's own map's tiles (see
+    ``correlate_mxu.window_scores_mxu`` map folding) — so M candidates
+    cost one correlation + one cost launch set instead of M each.
     Returns a MatchSummary with leading axes [M, K].
 
-    Per-map kernels stay separate (same Pallas launches as M single-map
-    calls) — the win is collapsing host round trips, which dominate at
-    SLAM rates.
+    The fold requires the Pallas cost kernel's envelope
+    (``cost_kernel_ok`` and kernel_size==1, the launcher default);
+    other configs fall back to the per-map-program path.
     """
-    m = value_maps.shape[0]
-    outs = []
-    for k in range(m):
-        grid = gridops.GridMap(value_maps[k], value_maps[k] > 0.0,
-                               origins[k], resolution)
-        outs.append(_match_one_map(
-            value_maps[k], cm.MxuTiles(tiles_stack[k]), grid,
-            initial_poses[k], ranges[k], angles[k], valid[k],
-            scan_min_range[k], scan_max_range[k], rel_sensor_poses[k],
-            scan_range_max, range_theta, usable_range_min,
-            usable_range_max, normalized_score_threshold,
-            num_total_beams[k], win_x, win_y, win_theta_max,
-            theta_chunk, q_chunk, cost_type, greedy_params, interpret,
-            score_gate, mxu_dtype, cost_kernel_ok))
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+    m, kq, nb = ranges.shape
+    gp = dict(greedy_params)
+    folded_ok = (cost_type == "greedy_endpoint"
+                 and gp.get("kernel_size", 1) == 1 and cost_kernel_ok)
+    if not folded_ok:
+        outs = []
+        for k in range(m):
+            grid = gridops.GridMap(value_maps[k], value_maps[k] > 0.0,
+                                   origins[k], resolution)
+            outs.append(_match_one_map(
+                value_maps[k], cm.MxuTiles(tiles_stack[k]), grid,
+                initial_poses[k], ranges[k], angles[k], valid[k],
+                scan_min_range[k], scan_max_range[k], rel_sensor_poses[k],
+                scan_range_max, range_theta, usable_range_min,
+                usable_range_max, normalized_score_threshold,
+                num_total_beams[k], win_x, win_y, win_theta_max,
+                theta_chunk, q_chunk, cost_type, greedy_params, interpret,
+                score_gate, mxu_dtype, cost_kernel_ok))
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    q = m * kq
+
+    def fold(x):
+        return x.reshape((q,) + x.shape[2:])
+
+    ip = fold(initial_poses)
+    rg, an, vd = fold(ranges), fold(angles), fold(valid)
+    smin, smax = fold(scan_min_range), fold(scan_max_range)
+    rel = fold(rel_sensor_poses)
+    n_total = fold(jnp.asarray(num_total_beams, jnp.float32))
+    org_q = jnp.repeat(origins, kq, axis=0)                  # [Q, 2]
+    map_q = jnp.repeat(jnp.arange(m, dtype=jnp.int32), kq)   # [Q]
+    res = jnp.asarray(resolution, jnp.float32)
+
+    sensor_poses = jax.vmap(se2.compound)(ip, rel)
+    sx_, sy_, st_ = (sensor_poses[:, 0], sensor_poses[:, 1],
+                     sensor_poses[:, 2])
+    max_range = jnp.minimum(
+        jnp.max(jnp.where(vd, rg, -jnp.inf), axis=-1), scan_range_max)
+    step_t = matchers.search_step_theta(res, max_range)
+    win_theta_act = jnp.ceil(0.5 * range_theta / step_t).astype(jnp.int32)
+
+    if score_gate == "pixel_accurate":
+        proj_mask = matchers._range_gate(
+            vd, rg, usable_range_min, usable_range_max,
+            smin[:, None], smax[:, None]) & (rg < scan_range_max)
+    else:
+        proj_mask = vd & (rg < scan_range_max)
+    wgt = proj_mask.astype(jnp.float32)
+
+    nt = 2 * win_theta_max + 1
+    t_idx = jnp.arange(nt) - win_theta_max
+    c0 = jnp.cos(st_[:, None] + an)
+    s0 = jnp.sin(st_[:, None] + an)
+    dt = t_idx[None, :].astype(jnp.float32) * step_t[:, None]
+    ct = jnp.cos(dt)[:, :, None]
+    st2 = jnp.sin(dt)[:, :, None]
+    cos_phi = c0[:, None, :] * ct - s0[:, None, :] * st2
+    sin_phi = s0[:, None, :] * ct + c0[:, None, :] * st2
+    hx = sx_[:, None, None] + rg[:, None, :] * cos_phi
+    hy = sy_[:, None, None] + rg[:, None, :] * sin_phi
+    ix = jnp.floor((hx - org_q[:, 0][:, None, None]) / res)
+    iy = jnp.floor((hy - org_q[:, 1][:, None, None]) / res)
+
+    tiles_cat = cm.MxuTiles(
+        tiles_stack.reshape((-1,) + tiles_stack.shape[2:]))
+    scores = window_scores_mxu_wide(
+        tiles_cat, ix.astype(jnp.int32), iy.astype(jnp.int32), wgt,
+        win_x, win_y, theta_chunk=theta_chunk, q_chunk=q_chunk,
+        interpret=interpret, mxu_dtype=mxu_dtype,
+        map_idx=map_q, map_tile_rows=tiles_stack.shape[1])
+    live = jnp.abs(t_idx)[None, :] <= win_theta_act[:, None]
+    scores = jnp.where(live[:, :, None, None], scores, -jnp.inf)
+
+    wxn = 2 * win_x + 1
+    wyn = 2 * win_y + 1
+    flat = scores.reshape(q, -1)
+    best = jnp.argmax(flat, axis=-1)
+    best_score = jnp.take_along_axis(flat, best[:, None], -1)[:, 0]
+    bt = best // (wxn * wyn) - win_theta_max
+    bx = (best // wyn) % wxn - win_x
+    by = best % wyn - win_y
+
+    pose_found = best_score > normalized_score_threshold * n_total
+    best_sensor_poses = jnp.stack([
+        sx_ + bx.astype(jnp.float32) * res,
+        sy_ + by.astype(jnp.float32) * res,
+        st_ + bt.astype(jnp.float32) * step_t,
+    ], axis=-1)
+
+    cost_mask = matchers._range_gate(
+        vd, rg, usable_range_min, usable_range_max,
+        smin[:, None], smax[:, None])
+    from my_lidar_graph_slam_tpu.ops.pallas import greedy_cost_mxu
+    h, w = value_maps.shape[1], value_maps.shape[2]
+    ctiles_all = jax.vmap(
+        lambda v: greedy_cost_mxu._make_cost_tiles(v, h, w))(value_maps)
+    ctiles_cat = greedy_cost_mxu.CostTiles(
+        ctiles_all.reshape((-1,) + ctiles_all.shape[2:]))
+    c, cov = greedy_cost_mxu.greedy_cost_cov_mxu(
+        ctiles_cat, org_q, best_sensor_poses, rg, an,
+        cost_mask.astype(jnp.float32),
+        resolution=res,
+        hit_and_missed_dist=gp.get("hit_and_missed_dist", 0.075),
+        occupancy_threshold=gp.get("occupancy_threshold", 0.1),
+        standard_deviation=gp.get("standard_deviation", 1.0),
+        scaling_factor=gp.get("scaling_factor", 0.05),
+        interpret=interpret,
+        map_idx=map_q, map_tile_rows=ctiles_all.shape[1])
+
+    estimated_poses = jax.vmap(se2.move_backward)(best_sensor_poses, rel)
+    summary = matchers.MatchSummary(
+        pose_found=pose_found,
+        normalized_cost=c / n_total,
+        normalized_score=best_score / n_total,
+        initial_pose=ip,
+        estimated_pose=estimated_poses,
+        covariance=cov,
+        frontier_overflow=jnp.zeros((q,), jnp.int32),
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((m, kq) + x.shape[1:]), summary)

@@ -187,13 +187,15 @@ def auto_theta_chunk(nt: int, win_x: int, win_y: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("win_x", "win_y", "theta_chunk", "q_chunk",
-                     "interpret", "mxu_dtype"))
+                     "interpret", "mxu_dtype", "map_tile_rows"))
 def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
                       win_x: int, win_y: int,
                       theta_chunk=None,
                       q_chunk: int = 16,
                       interpret: bool = False,
-                      mxu_dtype=jnp.float32):
+                      mxu_dtype=jnp.float32,
+                      map_idx=None,
+                      map_tile_rows: int = 0):
     """Scores over all (theta, dx, dy) candidates, gather-free.
 
     ``ix``/``iy``: int32[Q, NT, NB] base hit cells in RAW map coordinates
@@ -207,6 +209,14 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
 
     Returns f32[Q, NT, 2*win_x+1, 2*win_y+1] equal (up to f32 summation
     order) to ``scoring.window_scores(value_map, ix, iy, w, win_x, win_y)``.
+
+    **Map folding** (``map_idx``/``map_tile_rows``): M same-shape maps'
+    tile arrays concatenated along axis 0 can serve all their queries in
+    ONE launch set — per-query coordinates stay in the OWN map's frame
+    and ``map_idx`` (i32[Q]) offsets each query's tile ids by
+    ``map_idx * map_tile_rows * NTX`` (``map_tile_rows`` = one map's
+    NTY). The kernel itself is unchanged; only the prefetch values and
+    the tile array's leading dimension grow.
     """
     assert win_x <= 3 and win_y <= 3
     q, nt, nb = ix.shape
@@ -218,6 +228,9 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     # dividing NB. Production beam counts are 64-multiples, so bb=8.
     bb = next(b for b in (8, 4, 2, 1) if nb % b == 0)
     nty, ntx = tiles.tiles.shape[0], tiles.tiles.shape[1]
+    if map_idx is not None:
+        assert map_tile_rows > 0 and nty % map_tile_rows == 0
+        nty = map_tile_rows           # per-map tile grid for clamping
     hc = (nty - 1) * STRIDE + TILE
     wc = (ntx - 1) * STRIDE + TILE
     nch = -(-nt // tc)
@@ -270,6 +283,10 @@ def window_scores_mxu(tiles: MxuTiles, ix, iy, beam_weight,
     ixl = chunk_pad(ix4, tidx)
     # Flat PACKED [QP * NB * NCH] prefetch layout (see _kernel_bb doc).
     tid = jnp.transpose(tidy * ntx + tidx, (0, 2, 1)).reshape(qp, -1)
+    if map_idx is not None:
+        mi = jnp.pad(jnp.asarray(map_idx, jnp.int32), (0, qp - q),
+                     mode="edge")
+        tid = tid + (mi * (map_tile_rows * ntx))[:, None]
 
     # One tile BlockSpec per beam of the block; index maps bind j.
     def tile_index_map(j):

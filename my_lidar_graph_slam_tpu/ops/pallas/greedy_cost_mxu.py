@@ -228,7 +228,8 @@ def _kernel(nb, bb, thr, tid_ref, w_ref, e_ref, *refs):
     jax.jit,
     static_argnames=("hit_and_missed_dist",
                      "occupancy_threshold", "standard_deviation",
-                     "scaling_factor", "q_chunk", "interpret"))
+                     "scaling_factor", "q_chunk", "interpret",
+                     "map_tile_rows"))
 def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
                         ranges, angles, beam_mask,
                         resolution,
@@ -237,13 +238,19 @@ def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
                         standard_deviation: float = 1.0,
                         scaling_factor: float = 0.05,
                         q_chunk: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        map_idx=None,
+                        map_tile_rows: int = 0):
     """Batched cost + covariance, gather-free (kernel_size=1 only).
 
     ``sensor_poses`` f32[Q, 3], ``ranges``/``angles``/``beam_mask``
     f32[Q, NB]. Returns ``(cost[Q], cov[Q, 3, 3])`` matching
     ``cost.greedy_endpoint_cost_and_covariance_fused`` up to f32
     summation order.
+
+    ``origin`` may be f32[2] (one map) or f32[Q, 2] (per-query maps);
+    with ``map_idx``/``map_tile_rows`` the concatenated-tile map folding
+    of :func:`correlate_mxu.window_scores_mxu` applies here too.
     """
     res = jnp.asarray(resolution, jnp.float32)
     variance = standard_deviation * standard_deviation
@@ -252,7 +259,14 @@ def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
     q, nb = ranges.shape
     bb = next(b for b in (8, 4, 2, 1) if nb % b == 0)
 
+    origin = jnp.asarray(origin, jnp.float32)
+    if origin.ndim == 1:
+        origin = jnp.broadcast_to(origin[None, :], (q, 2))
+
     nty, ntx = tiles.tiles.shape[0], tiles.tiles.shape[1]
+    if map_idx is not None:
+        assert map_tile_rows > 0 and nty % map_tile_rows == 0
+        nty = map_tile_rows
     hc = (nty - 1) * CSTRIDE_Y + CTILE_Y
     wc = (ntx - 1) * CSTRIDE_X + CTILE_X
 
@@ -271,8 +285,10 @@ def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
         (ranges[:, None, :] - hit_and_missed_dist) * sin_t
 
     def cells(px, py):
-        ix = jnp.floor((px - origin[0]) / res).astype(jnp.int32)
-        iy = jnp.floor((py - origin[1]) / res).astype(jnp.int32)
+        ox = origin[:, 0][:, None, None]
+        oy = origin[:, 1][:, None, None]
+        ix = jnp.floor((px - ox) / res).astype(jnp.int32)
+        iy = jnp.floor((py - oy) / res).astype(jnp.int32)
         return ix, iy
 
     hix, hiy = cells(hx, hy)                                     # [Q,3,NB]
@@ -335,6 +351,10 @@ def greedy_cost_cov_mxu(tiles: CostTiles, origin, sensor_poses,
     pk_h = pack(hy_f, hx_f)
     pk_m = pack(my_f, mx_f)
     tid = (tidy * ntx + tidx).reshape(qp, -1)        # [QP, NB]
+    if map_idx is not None:
+        mi = jnp.pad(jnp.asarray(map_idx, jnp.int32), (0, qp - q),
+                     mode="edge")
+        tid = tid + (mi * (map_tile_rows * ntx))[:, None]
 
     e_flat = jnp.stack([
         jnp.ones((), jnp.float32),
