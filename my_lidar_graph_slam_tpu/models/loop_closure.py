@@ -535,56 +535,75 @@ class LoopDetectorBranchBound:
     def _detect_fanout(self, graph: PoseGraph, builder: mb.GridMapBuilder,
                        candidates: List[LoopCandidate]
                        ) -> List[LoopDetectionResult]:
-        from my_lidar_graph_slam_tpu.parallel import distributed
+        """ALL candidates' mesh fan-outs in ONE dispatch (round 5;
+        previously one dispatch — one ~37 ms round trip — per
+        candidate)."""
+        from my_lidar_graph_slam_tpu.parallel import distributed, multihost
 
         results: List[LoopDetectionResult] = []
         cfg = builder.config
         win_x, win_y, win_t = self._window_params(cfg)
         st = builder.scans
         n_dev = int(np.prod(list(self.mesh.shape.values())))
+        if not candidates:
+            return results
 
-        for cand in candidates:
+        m = len(candidates)
+        kmax = max(len(c.node_indices) for c in candidates)
+        k = -(-kmax // n_dev) * n_dev
+        nb = st.beam_bucket()
+
+        pyrs, grids = [], []
+        poses = np.zeros((m, k, 3), np.float32)
+        ranges = np.zeros((m, k, nb), np.float32)
+        angles = np.zeros((m, k, nb), np.float32)
+        valid = np.zeros((m, k, nb), bool)
+        rmin = np.zeros((m, k), np.float32)
+        rmax = np.zeros((m, k), np.float32)
+        rel = np.zeros((m, k, 3), np.float32)
+        beams = np.ones((m, k), np.float32)
+        for ci, cand in enumerate(candidates):
             lm = builder.local_maps[cand.local_map_idx]
             assert lm.finished
-            pyr = builder.pyramid_for(lm, self.node_height_max)
-            anchor_pose = graph.poses[cand.local_map_node_idx]
-
+            pyrs.append(builder.pyramid_for(lm, self.node_height_max))
+            grids.append(lm.grid)
             nodes = list(cand.node_indices)
-            k = -(-len(nodes) // n_dev) * n_dev
             ids = np.asarray([int(graph.scan_ids[n]) for n in nodes])
-            pad = k - len(nodes)
-            idsp = np.concatenate([ids, np.zeros(pad, ids.dtype)])
-            poses = np.zeros((k, 3), np.float32)
-            poses[:len(nodes)] = graph.poses[nodes]
-            valid = st.valid[idsp].copy()
-            valid[len(nodes):] = False  # padded rows score 0 -> not found
+            poses[ci, :len(nodes)] = graph.poses[nodes]
+            ranges[ci, :len(nodes)] = st.ranges[ids, :nb]
+            angles[ci, :len(nodes)] = st.angles[ids, :nb]
+            valid[ci, :len(nodes)] = st.valid[ids, :nb]
+            rmin[ci, :len(nodes)] = st.min_range[ids]
+            rmax[ci, :len(nodes)] = st.max_range[ids]
+            rel[ci, :len(nodes)] = st.rel_sensor_pose[ids]
+            beams[ci, :len(nodes)] = np.maximum(st.raw_beams[ids], 1)
 
-            out = distributed.branch_bound_fanout(
-                pyr, lm.grid, jnp.asarray(poses),
-                jnp.asarray(st.ranges[idsp]), jnp.asarray(st.angles[idsp]),
-                jnp.asarray(valid),
-                jnp.asarray(st.min_range[idsp]),
-                jnp.asarray(st.max_range[idsp]),
-                jnp.asarray(st.rel_sensor_pose[idsp]),
-                jnp.asarray(np.maximum(st.raw_beams[idsp], 1), jnp.float32),
-                scan_range_max=self.scan_range_max,
-                range_theta=self.range_theta,
-                usable_range_min=self.usable_range_min,
-                usable_range_max=self.usable_range_max,
-                normalized_score_threshold=self.score_threshold,
-                mesh=self.mesh, axis="shard",
-                node_height_max=self.node_height_max,
-                win_x=win_x, win_y=win_y, win_theta_max=win_t,
-                frontier_cap=self.frontier_cap)
-            # Under a multi-process mesh the sharded output spans
-            # non-addressable devices; gather it globally.
-            from my_lidar_graph_slam_tpu.parallel import multihost
-            out = multihost.fetch_global(out)
-            found = np.asarray(out.pose_found)
-            for row, node_idx in enumerate(nodes):
-                if not bool(found[row]):
+        out = distributed.branch_bound_fanout_multi(
+            jnp.stack(pyrs),
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *grids),
+            jnp.asarray(poses), jnp.asarray(ranges), jnp.asarray(angles),
+            jnp.asarray(valid), jnp.asarray(rmin), jnp.asarray(rmax),
+            jnp.asarray(rel), jnp.asarray(beams),
+            jnp.asarray(self.scan_range_max, jnp.float32),
+            jnp.asarray(self.range_theta, jnp.float32),
+            jnp.asarray(self.usable_range_min, jnp.float32),
+            jnp.asarray(self.usable_range_max, jnp.float32),
+            jnp.asarray(self.score_threshold, jnp.float32),
+            mesh=self.mesh, axis="shard",
+            node_height_max=self.node_height_max,
+            win_x=win_x, win_y=win_y, win_theta_max=win_t,
+            frontier_cap=self.frontier_cap)
+        # Under a multi-process mesh the sharded output spans
+        # non-addressable devices; gather it globally.
+        out = multihost.fetch_global(out)
+        found = np.asarray(out.pose_found)
+        for ci, cand in enumerate(candidates):
+            anchor_pose = graph.poses[cand.local_map_node_idx]
+            for row, node_idx in enumerate(cand.node_indices):
+                if not bool(found[ci, row]):
                     continue
-                one = jax.tree_util.tree_map(lambda x, r=row: x[r], out)
+                one = jax.tree_util.tree_map(
+                    lambda x, c=ci, r=row: x[c][r], out)
                 self._emit(results, graph, cand, node_idx, anchor_pose, one)
         return results
 

@@ -250,6 +250,49 @@ def branch_bound_fanout(pyramid, grid, initial_poses,
                jnp.asarray(normalized_score_threshold, jnp.float32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "node_height_max", "win_x", "win_y",
+                     "win_theta_max", "frontier_cap"))
+def branch_bound_fanout_multi(pyramids, grids, initial_poses,
+                              ranges, angles, valid,
+                              scan_min_range, scan_max_range,
+                              rel_sensor_poses, num_total_beams,
+                              scan_range_max, range_theta,
+                              usable_range_min, usable_range_max,
+                              normalized_score_threshold,
+                              mesh: Mesh, axis: str = "shard",
+                              node_height_max: int = 6,
+                              win_x: int = 20, win_y: int = 20,
+                              win_theta_max: int = 100,
+                              frontier_cap: int = 4096):
+    """M candidates' sharded fan-outs in ONE dispatch.
+
+    ``pyramids``: the M same-shape local-map pyramids stacked on axis 0;
+    ``grids``: a GridMap pytree with leading axis M; scan tensors have
+    leading axes [M, K]. Each candidate's node window still fans out
+    across the mesh (the per-candidate :func:`branch_bound_fanout`
+    program, now inside one jit) — this removes the per-candidate host
+    round trip the reference's sequential query loop implies
+    (loop_detector_branch_bound.cpp:38-89). Returns a MatchSummary with
+    leading axes [M, K].
+    """
+    m = pyramids.shape[0]
+    outs = []
+    for ci in range(m):
+        grid = jax.tree_util.tree_map(lambda x, c=ci: x[c], grids)
+        outs.append(branch_bound_fanout(
+            pyramids[ci], grid, initial_poses[ci],
+            ranges[ci], angles[ci], valid[ci],
+            scan_min_range[ci], scan_max_range[ci], rel_sensor_poses[ci],
+            num_total_beams[ci], scan_range_max, range_theta,
+            usable_range_min, usable_range_max,
+            normalized_score_threshold, mesh=mesh, axis=axis,
+            node_height_max=node_height_max, win_x=win_x, win_y=win_y,
+            win_theta_max=win_theta_max, frontier_cap=frontier_cap))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+
 # ---------------------------------------------------------------------------
 # Node-sharded LM solve (O(N/D + boundary) memory and comm per device)
 # ---------------------------------------------------------------------------
